@@ -1,0 +1,526 @@
+"""Homogeneous self-dual interior-point core (batched, jit-native).
+
+The TPU-native re-design of the upstream solver stack (upstream:
+``pycllp/solvers/hsd.py`` NumPy oracle, vendored Vanderbei ``hsd.c``, and
+the OpenCL per-work-item kernel; reference mount empty this build —
+SURVEY.md §0).  Algorithm: the homogeneous self-dual embedding of
+Andersen & Andersen / Xu–Hung–Ye with Mehrotra predictor-corrector — the
+same family as the Vanderbei ``hsd`` lineage and scipy's
+``_linprog_ip.py``, which serves as the local correctness oracle.
+
+Design (SURVEY.md §3.2/§7):
+
+* the host-side driver loop becomes jitted ``lax.while_loop`` phases over
+  a batched state — no host round-trips inside the solve;
+* pycllp's per-instance OpenCL convergence flags become a per-lane
+  ``status`` vector; finished lanes are frozen by masking;
+* the loop predicate reduces the lane mask with a pluggable ``reduce_any``
+  so the sharded path can substitute a cross-device collective
+  (psum-gated termination, SURVEY.md §5);
+* all hot ops route through a :class:`~pycllp_tpu.ops.reference.KernelSet`
+  so Pallas kernels swap in without touching the math.
+
+f32-on-TPU strategy (SURVEY.md §7 hard part 1): Ruiz-equilibrated data,
+relative diagonal regularization of the normal matrix, optional KKT-level
+iterative refinement of each Newton direction, per-lane best-iterate
+tracking with stall cutoff (an f32 IPM eventually emits garbage
+directions once μ ≲ ε_machine·cond — we keep the best point instead of
+the last), and an optional mixed-precision finish phase that continues
+the *same* interior state in a wider dtype for the last few iterations.
+
+Problem form: ``min cᵀx  s.t.  Ax = b, x ≥ 0`` (EqualityLP).  HSD
+embedding variables: x ≥ 0, y free, z ≥ 0, τ ≥ 0, κ ≥ 0; residuals
+
+    r_p = bτ − Ax,   r_d = cτ − Aᵀy − z,   r_g = cᵀx − bᵀy + κ,
+    μ = (xᵀz + τκ)/(n+1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pycllp_tpu.ops.reference import KernelSet, REFERENCE_KERNELS
+from pycllp_tpu.solvers.options import SolverOptions, Status
+from pycllp_tpu.utils.scaling import ruiz_equilibrate, scale_problem, unscale_solution
+
+__all__ = ["HSDState", "hsd_solve_batched", "hsd_solve"]
+
+_RUNNING = jnp.int32(int(Status.RUNNING))
+
+
+class HSDState(NamedTuple):
+    x: jnp.ndarray  # (B, n)
+    y: jnp.ndarray  # (B, m)
+    z: jnp.ndarray  # (B, n)
+    tau: jnp.ndarray  # (B,)
+    kappa: jnp.ndarray  # (B,)
+    status: jnp.ndarray  # (B,) int32
+    iterations: jnp.ndarray  # (B,) int32 — iterations spent while active
+    k: jnp.ndarray  # () int32 — global loop counter
+    rp0: jnp.ndarray  # (B,) initial-residual norms for relative indicators
+    rd0: jnp.ndarray
+    rg0: jnp.ndarray
+    mu0: jnp.ndarray
+    # best-iterate tracking (f32 insurance: keep the best point, not the last)
+    best_x: jnp.ndarray
+    best_y: jnp.ndarray
+    best_z: jnp.ndarray
+    best_tau: jnp.ndarray
+    best_kappa: jnp.ndarray
+    best_score: jnp.ndarray  # (B,) max(ρ_p, ρ_d, ρ_A) at the best iterate
+    best_k: jnp.ndarray  # (B,) int32 loop index of the best iterate
+
+
+class _Indicators(NamedTuple):
+    rho_p: jnp.ndarray
+    rho_d: jnp.ndarray
+    rho_g: jnp.ndarray
+    rho_mu: jnp.ndarray
+    rho_A: jnp.ndarray
+    by: jnp.ndarray
+
+
+def _norm(v):
+    return jnp.linalg.norm(v, axis=-1)
+
+
+def _residuals(A, b, c, x, y, z, tau, kappa, k):
+    n_plus_1 = x.shape[-1] + 1
+    rp = b * tau[..., None] - k.mv(A, x)
+    rd = c * tau[..., None] - k.rmv(A, y) - z
+    rg = jnp.sum(c * x, axis=-1) - jnp.sum(b * y, axis=-1) + kappa
+    mu = (jnp.sum(x * z, axis=-1) + tau * kappa) / n_plus_1
+    return rp, rd, rg, mu
+
+
+def _indicators(rp, rd, rg, mu, tau, kappa, by, rp0, rd0, rg0, mu0) -> _Indicators:
+    one = jnp.ones_like(rp0)
+    rho_p = _norm(rp) / jnp.maximum(one, rp0)
+    rho_d = _norm(rd) / jnp.maximum(one, rd0)
+    rho_g = jnp.abs(rg) / jnp.maximum(one, rg0)
+    rho_mu = mu / mu0
+    cx_minus_by = rg - kappa  # cᵀx − bᵀy
+    rho_A = jnp.abs(cx_minus_by) / (tau + jnp.abs(by))
+    return _Indicators(rho_p, rho_d, rho_g, rho_mu, rho_A, by)
+
+
+def _classify(ind: _Indicators, tau, kappa, status, tol):
+    """Per-lane termination test → new status vector."""
+    optimal = (ind.rho_p <= tol) & (ind.rho_d <= tol) & (ind.rho_A <= tol)
+    inf1 = (
+        (ind.rho_p <= tol)
+        & (ind.rho_d <= tol)
+        & (ind.rho_g <= tol)
+        & (tau <= tol * jnp.maximum(1.0, kappa))
+    )
+    inf2 = (ind.rho_mu <= tol) & (tau <= tol * jnp.minimum(1.0, kappa))
+    infeasible = inf1 | inf2
+    inf_status = jnp.where(
+        ind.by > tol, jnp.int32(int(Status.INFEASIBLE)), jnp.int32(int(Status.UNBOUNDED))
+    )
+    running = status == _RUNNING
+    return jnp.where(
+        running & optimal,
+        jnp.int32(int(Status.OPTIMAL)),
+        jnp.where(running & infeasible, inf_status, status),
+    )
+
+
+def _max_step(x, dx, z, dz, tau, dtau, kappa, dkappa):
+    """Largest α keeping (x, z, τ, κ) ≥ 0 along the direction (ratio test)."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+
+    def ratios(v, dv):
+        return jnp.where(dv < 0, v / jnp.where(dv < 0, -dv, 1.0), big)
+
+    a = jnp.minimum(jnp.min(ratios(x, dx), axis=-1), jnp.min(ratios(z, dz), axis=-1))
+    a = jnp.minimum(a, jnp.where(dtau < 0, tau / jnp.where(dtau < 0, -dtau, 1.0), big))
+    a = jnp.minimum(a, jnp.where(dkappa < 0, kappa / jnp.where(dkappa < 0, -dkappa, 1.0), big))
+    return a
+
+
+def _make_step_fn(A, b, c, opts: SolverOptions, kset: KernelSet, dtype):
+    """Build the per-iteration Newton step closure (batched over lanes)."""
+    reg_eps = opts.resolved_reg_eps(dtype)
+    refine = opts.resolved_refine_steps(dtype)
+    kkt_refine = opts.kkt_refine
+
+    def step(x, y, z, tau, kappa, rp, rd, rg, mu):
+        dinv = x / z  # "D" = X Z⁻¹
+        M = kset.form_normal(A, dinv, reg_eps)
+        L = kset.cholesky(M)
+
+        def msolve(r):
+            v = kset.chol_solve(L, r)
+            for _ in range(refine):
+                v = v + kset.chol_solve(L, r - jnp.einsum("...ij,...j->...i", M, v))
+            return v
+
+        def sym_solve(r1, r2):
+            v = msolve(r2 + kset.mv(A, dinv * r1))
+            u = dinv * (kset.rmv(A, v) - r1)
+            return u, v
+
+        p, q = sym_solve(c, b)
+        # denominator of the dτ formula: κ/τ + (bᵀq − cᵀp)
+        denom = kappa / tau + jnp.sum(b * q, axis=-1) - jnp.sum(c * p, axis=-1)
+
+        def solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
+            """Solve the 5-block HSD Newton system for one RHS set:
+
+                A dx − b dτ              = rhs_p
+                Aᵀdy + dz − c dτ         = rhs_d
+                bᵀdy − cᵀdx − dκ         = rhs_g
+                Z dx + X dz              = rhs_xs
+                κ dτ + τ dκ              = rhs_tk
+            """
+            u, v = sym_solve(rhs_d - rhs_xs / x, rhs_p)
+            dtau = (
+                rhs_g + rhs_tk / tau - (jnp.sum(b * v, axis=-1) - jnp.sum(c * u, axis=-1))
+            ) / denom
+            dx = u + p * dtau[..., None]
+            dy = v + q * dtau[..., None]
+            dz = (rhs_xs - z * dx) / x
+            dkappa = (rhs_tk - kappa * dtau) / tau
+            return dx, dy, dz, dtau, dkappa
+
+        def solve_refined(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
+            d = solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk)
+            for _ in range(kkt_refine):
+                dx, dy, dz, dtau, dkappa = d
+                e_p = rhs_p - (kset.mv(A, dx) - b * dtau[..., None])
+                e_d = rhs_d - (kset.rmv(A, dy) + dz - c * dtau[..., None])
+                e_g = rhs_g - (
+                    jnp.sum(b * dy, axis=-1) - jnp.sum(c * dx, axis=-1) - dkappa
+                )
+                e_xs = rhs_xs - (z * dx + x * dz)
+                e_tk = rhs_tk - (kappa * dtau + tau * dkappa)
+                corr = solve_newton(e_p, e_d, e_g, e_xs, e_tk)
+                d = tuple(a + b_ for a, b_ in zip(d, corr))
+            return d
+
+        def get_delta(gamma, dxa, dza, dta, dka):
+            eta = 1.0 - gamma
+            return solve_refined(
+                eta[..., None] * rp,
+                eta[..., None] * rd,
+                eta * rg,
+                (gamma * mu)[..., None] - x * z - dxa * dza,
+                gamma * mu - tau * kappa - dta * dka,
+            )
+
+        zero_n = jnp.zeros_like(x)
+        zero_s = jnp.zeros_like(tau)
+
+        if opts.mehrotra:
+            # predictor: γ=0, pure Newton on the residuals
+            dxa, dya, dza, dta, dka = get_delta(zero_s, zero_n, zero_n, zero_s, zero_s)
+            a_aff = jnp.minimum(1.0, _max_step(x, dxa, z, dza, tau, dta, kappa, dka))
+            aan = a_aff[..., None]
+            mu_aff = (
+                jnp.sum((x + aan * dxa) * (z + aan * dza), axis=-1)
+                + (tau + a_aff * dta) * (kappa + a_aff * dka)
+            ) / (x.shape[-1] + 1)
+            gamma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+            dx, dy, dz, dtau, dkappa = get_delta(gamma, dxa, dza, dta, dka)
+        else:
+            gamma = jnp.full_like(tau, opts.gamma)
+            dx, dy, dz, dtau, dkappa = get_delta(gamma, zero_n, zero_n, zero_s, zero_s)
+
+        alpha = jnp.minimum(
+            1.0, opts.alpha0 * _max_step(x, dx, z, dz, tau, dtau, kappa, dkappa)
+        )
+        an = alpha[..., None]
+        return (
+            x + an * dx,
+            y + an * dy,
+            z + an * dz,
+            tau + alpha * dtau,
+            kappa + alpha * dkappa,
+        )
+
+    return step
+
+
+def _run_phase(
+    A,
+    b,
+    c,
+    state: HSDState,
+    opts: SolverOptions,
+    kset: KernelSet,
+    dtype,
+    tol: float,
+    maxiter: int,
+    reduce_any: Callable,
+) -> HSDState:
+    """Run the masked IPM loop until all lanes finish or ``k == maxiter``."""
+    step = _make_step_fn(A, b, c, opts, kset, dtype)
+    patience = opts.stall_patience
+
+    def cond(s: HSDState):
+        return (s.k < maxiter) & reduce_any(s.status == _RUNNING)
+
+    def body(s: HSDState) -> HSDState:
+        rp, rd, rg, mu = _residuals(A, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
+        by = jnp.sum(b * s.y, axis=-1)
+        ind = _indicators(rp, rd, rg, mu, s.tau, s.kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
+        status = _classify(ind, s.tau, s.kappa, s.status, tol)
+        running = status == _RUNNING
+
+        # best-iterate bookkeeping (finite scores only)
+        score = jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
+        improved = (s.status == _RUNNING) & jnp.isfinite(score) & (score < s.best_score)
+        imn = improved[..., None]
+        best_x = jnp.where(imn, s.x, s.best_x)
+        best_y = jnp.where(imn, s.y, s.best_y)
+        best_z = jnp.where(imn, s.z, s.best_z)
+        best_tau = jnp.where(improved, s.tau, s.best_tau)
+        best_kappa = jnp.where(improved, s.kappa, s.best_kappa)
+        best_score = jnp.where(improved, score, s.best_score)
+        best_k = jnp.where(improved, s.k, s.best_k)
+
+        # stall cutoff: no best-score progress for `patience` iterations →
+        # stop spending FLOPs on this lane (its best iterate is kept)
+        stalled = running & (s.k - best_k >= patience)
+        status = jnp.where(stalled, jnp.int32(int(Status.STALLED)), status)
+        active = status == _RUNNING
+
+        xn, yn, zn, taun, kappan = step(s.x, s.y, s.z, s.tau, s.kappa, rp, rd, rg, mu)
+
+        # numerical guard: a lane whose step went non-finite keeps its old
+        # iterate and is flagged NUMERICAL (the f32 breakdown path).
+        finite = (
+            jnp.all(jnp.isfinite(xn), axis=-1)
+            & jnp.all(jnp.isfinite(yn), axis=-1)
+            & jnp.all(jnp.isfinite(zn), axis=-1)
+            & jnp.isfinite(taun)
+            & jnp.isfinite(kappan)
+            & (taun > 0)
+            & (kappan >= 0)
+        )
+        status = jnp.where(active & ~finite, jnp.int32(int(Status.NUMERICAL)), status)
+        take = active & finite
+
+        tn = take[..., None]
+        return HSDState(
+            x=jnp.where(tn, xn, s.x),
+            y=jnp.where(tn, yn, s.y),
+            z=jnp.where(tn, zn, s.z),
+            tau=jnp.where(take, taun, s.tau),
+            kappa=jnp.where(take, kappan, s.kappa),
+            status=status,
+            iterations=jnp.where(take, s.iterations + 1, s.iterations),
+            k=s.k + 1,
+            rp0=s.rp0,
+            rd0=s.rd0,
+            rg0=s.rg0,
+            mu0=s.mu0,
+            best_x=best_x,
+            best_y=best_y,
+            best_z=best_z,
+            best_tau=best_tau,
+            best_kappa=best_kappa,
+            best_score=best_score,
+            best_k=best_k,
+        )
+
+    return lax.while_loop(cond, body, state)
+
+
+def _finalize(A, b, c, s: HSDState, kset: KernelSet, tol):
+    """Fold the current iterate into `best`, classify on the best iterate."""
+    rp, rd, rg, mu = _residuals(A, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
+    by = jnp.sum(b * s.y, axis=-1)
+    ind = _indicators(rp, rd, rg, mu, s.tau, s.kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
+    score = jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
+    improved = (s.status == _RUNNING) & jnp.isfinite(score) & (score < s.best_score)
+    imn = improved[..., None]
+    s = s._replace(
+        best_x=jnp.where(imn, s.x, s.best_x),
+        best_y=jnp.where(imn, s.y, s.best_y),
+        best_z=jnp.where(imn, s.z, s.best_z),
+        best_tau=jnp.where(improved, s.tau, s.best_tau),
+        best_kappa=jnp.where(improved, s.kappa, s.best_kappa),
+        best_score=jnp.where(improved, score, s.best_score),
+    )
+    # non-terminated lanes answer with their best iterate
+    use_best = (s.status == _RUNNING) | (s.status == jnp.int32(int(Status.STALLED)))
+    ubn = use_best[..., None]
+    x = jnp.where(ubn, s.best_x, s.x)
+    y = jnp.where(ubn, s.best_y, s.y)
+    z = jnp.where(ubn, s.best_z, s.z)
+    tau = jnp.where(use_best, s.best_tau, s.tau)
+    kappa = jnp.where(use_best, s.best_kappa, s.kappa)
+
+    rp, rd, rg, mu = _residuals(A, b, c, x, y, z, tau, kappa, kset)
+    by = jnp.sum(b * y, axis=-1)
+    ind = _indicators(rp, rd, rg, mu, tau, kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
+    # STALLED lanes are re-opened for this final test: if their best
+    # iterate meets tol after all, they are OPTIMAL.
+    stalled = s.status == jnp.int32(int(Status.STALLED))
+    status_open = jnp.where(stalled, _RUNNING, s.status)
+    status = _classify(ind, tau, kappa, status_open, tol)
+    status = jnp.where(
+        status == _RUNNING,
+        jnp.where(
+            stalled,
+            jnp.int32(int(Status.STALLED)),
+            jnp.int32(int(Status.ITERATION_LIMIT)),
+        ),
+        status,
+    )
+    return x, y, z, tau, kappa, status, ind
+
+
+def _cast_state(s: HSDState, dtype) -> HSDState:
+    def cast(v):
+        return v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+
+    return HSDState(*[cast(v) for v in s])
+
+
+@partial(jax.jit, static_argnames=("opts", "kset", "reduce_any"))
+def hsd_solve_batched(
+    A,
+    b,
+    c,
+    opts: SolverOptions = SolverOptions(),
+    kset: KernelSet = REFERENCE_KERNELS,
+    reduce_any: Callable = jnp.any,
+):
+    """Solve a batch of equality-form LPs ``min cᵀx, Ax = b, x ≥ 0``.
+
+    Parameters
+    ----------
+    A : (m, n) shared or (B, m, n) per-instance constraint matrices.
+    b : (B, m); c : (B, n).
+    reduce_any : mask reduction for the loop predicate; the sharded path
+        passes a collective (e.g. a psum of the local mask).
+
+    Returns a dict of arrays: x, y, z, tau, kappa, objective, status,
+    iterations, rho_p, rho_d, rho_gap — all with leading batch axis.
+
+    NOTE: traced under ``jax.default_matmul_precision("highest")`` —
+    on TPU, f32 matmuls otherwise run as single-pass bf16 on the MXU,
+    which destroys the positive-definiteness of ADAᵀ and NaNs the
+    Cholesky within a few IPM iterations (observed on v5e).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any)
+
+
+def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
+    dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b, c)
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    c = jnp.asarray(c, dtype)
+    B, m = b.shape
+    n = c.shape[-1]
+
+    if opts.scale:
+        scaling = ruiz_equilibrate(A)
+        A_s, b_s, c_s = scale_problem(A, b, c, scaling)
+    else:
+        scaling = None
+        A_s, b_s, c_s = A, b, c
+
+    x0 = jnp.ones((B, n), dtype)
+    y0 = jnp.zeros((B, m), dtype)
+    z0 = jnp.ones((B, n), dtype)
+    tau0 = jnp.ones((B,), dtype)
+    kappa0 = jnp.ones((B,), dtype)
+    rp, rd, rg, mu = _residuals(A_s, b_s, c_s, x0, y0, z0, tau0, kappa0, kset)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    state = HSDState(
+        x=x0,
+        y=y0,
+        z=z0,
+        tau=tau0,
+        kappa=kappa0,
+        status=jnp.full((B,), _RUNNING, jnp.int32),
+        iterations=jnp.zeros((B,), jnp.int32),
+        k=jnp.int32(0),
+        rp0=_norm(rp),
+        rd0=_norm(rd),
+        rg0=jnp.abs(rg),
+        mu0=mu,
+        best_x=x0,
+        best_y=y0,
+        best_z=z0,
+        best_tau=tau0,
+        best_kappa=kappa0,
+        best_score=jnp.full((B,), big, dtype),
+        best_k=jnp.zeros((B,), jnp.int32),
+    )
+
+    finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
+    phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
+    state = _run_phase(
+        A_s, b_s, c_s, state, opts, kset, dtype, phase1_tol, opts.maxiter, reduce_any
+    )
+
+    if finish:
+        # continue the SAME interior state in the wider dtype: the bulk of
+        # iterations ran on the fast dtype; the last few polish to full tol.
+        fdtype = jnp.dtype(opts.finish_dtype)
+        A_f, b_f, c_f = A_s.astype(fdtype), b_s.astype(fdtype), c_s.astype(fdtype)
+        state = _cast_state(state, fdtype)
+        reopen = (state.status != jnp.int32(int(Status.NUMERICAL)))
+        state = state._replace(
+            status=jnp.where(reopen, _RUNNING, state.status),
+            best_score=jnp.full_like(state.best_score, jnp.finfo(fdtype).max),
+            best_k=jnp.full_like(state.best_k, state.k),
+        )
+        state = _run_phase(
+            A_f,
+            b_f,
+            c_f,
+            state,
+            opts,
+            kset,
+            fdtype,
+            opts.tol,
+            opts.maxiter + opts.finish_maxiter,
+            reduce_any,
+        )
+        A_s, b_s, c_s = A_f, b_f, c_f
+
+    x, y, z, tau, kappa, status, ind = _finalize(A_s, b_s, c_s, state, kset, opts.tol)
+
+    out_dtype = x.dtype
+    tau_safe = jnp.maximum(tau, jnp.asarray(jnp.finfo(out_dtype).tiny, out_dtype))
+    x_hat = x / tau_safe[..., None]
+    y_hat = y / tau_safe[..., None]
+    z_hat = z / tau_safe[..., None]
+    if scaling is not None:
+        sc = scaling
+        if finish:
+            sc = type(sc)(*[v.astype(out_dtype) for v in sc])
+        x_hat, y_hat, z_hat = unscale_solution(x_hat, y_hat, z_hat, sc)
+    objective = jnp.sum(c.astype(out_dtype) * x_hat, axis=-1)
+
+    return {
+        "x": x_hat,
+        "y": y_hat,
+        "z": z_hat,
+        "tau": tau,
+        "kappa": kappa,
+        "objective": objective,
+        "status": status,
+        "iterations": state.iterations,
+        "rho_p": ind.rho_p,
+        "rho_d": ind.rho_d,
+        "rho_gap": ind.rho_g,
+    }
+
+
+def hsd_solve(A, b, c, opts: SolverOptions = SolverOptions(), kset: KernelSet = REFERENCE_KERNELS):
+    """Unbatched convenience wrapper: solve one ``min cᵀx, Ax=b, x≥0``."""
+    out = hsd_solve_batched(A, b[None], c[None], opts, kset)
+    return {k: v[0] for k, v in out.items()}

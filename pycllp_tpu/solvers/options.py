@@ -1,0 +1,147 @@
+"""Solver options, status codes, and the solution container.
+
+Upstream parity: pycllp passes tolerance/maxiter as solver kwargs and
+returns per-instance status/convergence flags (reference mount empty this
+build — SURVEY.md §0; capability per BASELINE.json north_star).  Here the
+options are a frozen, hashable dataclass passed as a *static* jit argument
+(SURVEY.md §5 "config/flag system" disposition).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+__all__ = ["SolverOptions", "Status", "Solution"]
+
+
+class Status(enum.IntEnum):
+    """Per-instance termination status.
+
+    Matches the classic interior-point status convention (optimal /
+    iteration limit / primal infeasible / dual infeasible a.k.a.
+    unbounded / numerical breakdown).  ``RUNNING`` is internal.
+    """
+
+    RUNNING = -1
+    OPTIMAL = 0
+    ITERATION_LIMIT = 1
+    INFEASIBLE = 2
+    UNBOUNDED = 3
+    NUMERICAL = 4
+    STALLED = 5  # no indicator progress for `stall_patience` iterations;
+    # the reported point is the best iterate reached (f32 floor behaviour)
+
+
+@dataclass(frozen=True)
+class SolverOptions:
+    """Hashable solver configuration (static under ``jax.jit``).
+
+    Attributes
+    ----------
+    tol:
+        Relative optimality tolerance (primal/dual residual and gap);
+        the upstream default optimality tolerance is 1e-6 relative gap.
+    maxiter:
+        Iteration cap for the IPM loop (static loop bound under jit).
+    alpha0:
+        Fraction-to-the-boundary step damping (Mehrotra's 0.99995).
+    mehrotra:
+        Use predictor-corrector (True) or single centering step (False).
+    gamma:
+        Fixed centering parameter when ``mehrotra=False``.
+    reg_eps:
+        Relative diagonal (Tikhonov) regularization added to the normal
+        matrix before Cholesky, scaled by its max diagonal.
+    refine_steps:
+        Iterative-refinement sweeps on each normal-equations solve
+        (cheap insurance for the f32 TPU path).
+    scale:
+        Apply Ruiz equilibration to A (and fold into b, c) before
+        solving; strongly recommended for f32.
+    dtype:
+        Compute dtype ("float32"/"float64"/None=follow inputs).
+    kkt_refine:
+        Iterative-refinement passes on the full 5-block Newton system
+        (each pass = one extra normal-equations solve); tightens f32
+        directions beyond what `refine_steps` (normal-equations-level
+        refinement) can.
+    stall_patience:
+        Iterations without best-score progress before a lane is frozen
+        as STALLED (its best iterate is returned).
+    finish_dtype:
+        If set (e.g. "float64" with dtype="float32"), continue the same
+        interior state in this dtype for a final polish phase — bulk
+        iterations run fast/narrow, the last few run wide to full tol.
+    finish_maxiter:
+        Extra iteration budget for the finish phase.
+    switch_tol:
+        Phase-1 tolerance when a finish phase is configured.
+    """
+
+    tol: float = 1e-6
+    maxiter: int = 100
+    alpha0: float = 0.99995
+    mehrotra: bool = True
+    gamma: float = 0.1
+    reg_eps: float = 0.0  # 0.0 → dtype-dependent default
+    refine_steps: int = 0  # 0 → dtype-dependent default
+    scale: bool = True
+    dtype: str | None = None
+    kkt_refine: int = 0
+    stall_patience: int = 12
+    finish_dtype: str | None = None
+    finish_maxiter: int = 20
+    switch_tol: float = 1e-3
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
+
+    def resolved_reg_eps(self, dtype) -> float:
+        if self.reg_eps:
+            return self.reg_eps
+        return 2e-6 if np.dtype(dtype) == np.float32 else 1e-12
+
+    def resolved_refine_steps(self, dtype) -> int:
+        if self.refine_steps:
+            return self.refine_steps
+        return 1 if np.dtype(dtype) == np.float32 else 0
+
+
+@dataclass
+class Solution:
+    """Batched solve result.
+
+    All arrays carry the instance batch axis first (absent for an
+    unbatched solve).  ``x``/``y``/``z`` are in the coordinates of the
+    form that was solved; container-level ``solve()`` wrappers map them
+    back to the user's form.
+    """
+
+    x: Any  # primal (..., n)
+    y: Any  # row duals (..., m)
+    z: Any  # reduced costs (..., n)
+    objective: Any  # (...,)
+    status: Any  # (...,) int32 Status codes
+    iterations: Any  # (...,)
+    # convergence diagnostics at exit
+    rho_p: Any = None
+    rho_d: Any = None
+    rho_gap: Any = None
+
+    @property
+    def converged(self):
+        return np.asarray(self.status) == int(Status.OPTIMAL)
+
+    def __repr__(self) -> str:
+        st = np.atleast_1d(np.asarray(self.status))
+        it = np.atleast_1d(np.asarray(self.iterations))
+        n_opt = int((st == int(Status.OPTIMAL)).sum())
+        return (
+            f"Solution(n={st.size}, optimal={n_opt}, "
+            f"iters[min/mean/max]={it.min()}/{it.mean():.1f}/{it.max()})"
+        )
