@@ -1,0 +1,88 @@
+"""Netlib-style LP fixtures.
+
+BASELINE.json config 4 calls for a netlib subset (afiro, adlittle,
+sc50a) batched with padding/masking.  This environment has no network
+access and the reference mount is empty (SURVEY.md §0), so real netlib
+MPS files cannot be fetched; instead this module
+
+* loads real netlib MPS files from ``PYCLLP_NETLIB_DIR`` when the user
+  provides them, and
+* ships deterministic synthetic stand-ins at the same scales
+  (rows×cols: afiro 27×32, adlittle 56×97, sc50a 50×48) with planted
+  optima, exercising the same heterogeneous-size padding/masking path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pycllp_tpu.io.generate import random_standard_lp
+from pycllp_tpu.io.mps import MPSProblem, read_mps, write_mps
+from pycllp_tpu.models import GeneralLP, StandardLP
+
+__all__ = ["NETLIB_SCALES", "load_fixture", "fixture_names", "pad_and_mask"]
+
+NETLIB_SCALES = {
+    # name -> (rows, cols) of the real netlib problem it stands in for
+    "afiro": (27, 32),
+    "adlittle": (56, 97),
+    "sc50a": (50, 48),
+}
+
+
+def fixture_names() -> list[str]:
+    return sorted(NETLIB_SCALES)
+
+
+def load_fixture(name: str) -> MPSProblem:
+    """Real netlib MPS if available in $PYCLLP_NETLIB_DIR, else the
+    synthetic stand-in of the same dimensions (round-tripped through the
+    MPS writer/reader so IO is exercised either way)."""
+    directory = os.environ.get("PYCLLP_NETLIB_DIR")
+    if directory:
+        for candidate in (f"{name}.mps", f"{name.upper()}.SIF", f"{name}.sif"):
+            path = os.path.join(directory, candidate)
+            if os.path.exists(path):
+                return read_mps(path)
+    if name not in NETLIB_SCALES:
+        raise KeyError(f"unknown fixture {name!r}; have {fixture_names()}")
+    m, n = NETLIB_SCALES[name]
+    std = random_standard_lp(m, n, seed=abs(hash(name)) % (2**31))
+    glp = GeneralLP(
+        A=np.asarray(std.A),
+        row_ub=np.asarray(std.b),
+        c=np.asarray(std.c),
+        sense="max",
+    )
+    text = write_mps(glp, name=f"SYN-{name.upper()}")
+    return read_mps(text)
+
+
+def pad_and_mask(problems: list[StandardLP], dtype=np.float32):
+    """Pad heterogeneous StandardLPs to a common (m, n) with validity
+    masks (SURVEY.md §7 hard part 4).
+
+    Padding scheme: extra rows get b = 1 with zero coefficients (slack
+    rows, trivially feasible, never binding); extra columns get c = -1
+    with zero coefficients (never enter the optimal basis of the max
+    problem).  Returns (A (B,m,n), b (B,m), c (B,n), row_mask (B,m),
+    col_mask (B,n)).
+    """
+    m = max(p.nrows for p in problems)
+    n = max(p.ncols for p in problems)
+    B = len(problems)
+    A = np.zeros((B, m, n), dtype)
+    b = np.ones((B, m), dtype)
+    c = -np.ones((B, n), dtype)
+    row_mask = np.zeros((B, m), bool)
+    col_mask = np.zeros((B, n), bool)
+    for k, p in enumerate(problems):
+        mi, ni = p.nrows, p.ncols
+        A[k, :mi, :ni] = np.asarray(p.A, dtype)
+        b[k, :mi] = np.asarray(p.b, dtype)
+        c[k, :ni] = np.asarray(p.c, dtype)
+        row_mask[k, :mi] = True
+        col_mask[k, :ni] = True
+    return A, b, c, row_mask, col_mask

@@ -3,19 +3,15 @@
 from pycllp_tpu.ops.reference import (
     REFERENCE_KERNELS,
     KernelSet,
-    chol_solve,
-    cholesky,
-    form_normal,
-    mv,
-    rmv,
+    NormalFactor,
+    PreparedA,
+    ReferenceKernels,
 )
 
 __all__ = [
     "REFERENCE_KERNELS",
     "KernelSet",
-    "chol_solve",
-    "cholesky",
-    "form_normal",
-    "mv",
-    "rmv",
+    "NormalFactor",
+    "PreparedA",
+    "ReferenceKernels",
 ]

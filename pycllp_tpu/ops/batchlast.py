@@ -1,0 +1,246 @@
+"""Pallas TPU kernels for the IPM hot path — batch-LAST layout.
+
+The TPU-native analogue of pycllp's OpenCL work-item-per-LP kernels
+(SURVEY.md §2.2: ``pycllp/cl/*.cl`` → Pallas; reference mount empty this
+build — SURVEY.md §0).  Key layout decision: instances live on the
+**lane** dimension.
+
+* With shared structure, ``M = A·diag(d)·Aᵀ`` collapses to ONE matmul:
+  ``M[(i,j), b] = Σ_n (A[i,n]·A[j,n]) · d[n,b] = (W @ dᵀ)[(i,j), b]``
+  where ``W[(i,j), n] = A[i,n]·A[j,n]`` is precomputed once per
+  structure.  The (m², n) @ (n, B) product is exactly MXU-shaped AND
+  lands in batch-last layout.
+* Cholesky + triangular solves are then scalar algorithms vectorised
+  over 128 instance-lanes on the VPU — each scalar op of the textbook
+  factorization becomes one vector op across instances.  This is the
+  same occupancy model as the OpenCL reference (per-work-item dense
+  factorization), mapped to lane parallelism.
+* The factorization never materialises M in HBM: the fused kernel does
+  matmul → in-VMEM factor → solve, writing only L (for the corrector
+  pass) and the solutions.
+
+Grid: one block per 128-lane instance chunk; A/W are broadcast blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pycllp_tpu.ops.reference import (
+    KernelSet,
+    NormalFactor,
+    PreparedA,
+    ReferenceKernels,
+    REFERENCE_KERNELS,
+)
+
+__all__ = ["BatchLastKernels", "BATCHLAST_KERNELS"]
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _factor_kernel(w_ref, dt_ref, reg_ref, l_ref, *, m: int):
+    """M = W @ dᵀ (MXU), then in-place batch-lane Cholesky of M + δI.
+
+    w_ref: (m², n); dt_ref: (n, LANES); reg_ref: (1, LANES);
+    l_ref: (m, m, LANES) output (lower triangle valid).
+    """
+    lanes = dt_ref.shape[-1]
+    mflat = jnp.dot(
+        w_ref[:], dt_ref[:], preferred_element_type=l_ref.dtype
+    )  # (m², LANES)
+    l_ref[:] = mflat.reshape(m, m, lanes)
+    reg = reg_ref[0, :]  # (LANES,)
+    for k in range(m):
+        akk = l_ref[k, k, :] + reg
+        pos = akk > 0
+        sq = jnp.sqrt(jnp.where(pos, akk, 1.0))
+        nan = jnp.asarray(jnp.nan, l_ref.dtype)
+        l_ref[k, k, :] = jnp.where(pos, sq, nan)
+        if k + 1 < m:
+            inv = jnp.where(pos, 1.0 / sq, nan)
+            col = l_ref[k + 1 :, k, :] * inv[None, :]
+            l_ref[k + 1 :, k, :] = col
+            l_ref[k + 1 :, k + 1 :, :] = (
+                l_ref[k + 1 :, k + 1 :, :] - col[:, None, :] * col[None, :, :]
+            )
+
+
+def _solve_kernel(l_ref, r_ref, v_ref, *, m: int, k_rhs: int):
+    """Solve L Lᵀ v = r for k_rhs stacked RHS, batch-lane vectorised.
+
+    l_ref: (m, m, LANES); r_ref/v_ref: (k_rhs, m, LANES).
+    """
+    v_ref[:] = r_ref[:]
+    # forward substitution L w = r (right-looking)
+    for i in range(m):
+        di = l_ref[i, i, :]
+        wi = v_ref[:, i, :] / di[None, :]
+        v_ref[:, i, :] = wi
+        if i + 1 < m:
+            v_ref[:, i + 1 :, :] = (
+                v_ref[:, i + 1 :, :] - l_ref[i + 1 :, i, :][None, :, :] * wi[:, None, :]
+            )
+    # backward substitution Lᵀ v = w
+    for i in reversed(range(m)):
+        di = l_ref[i, i, :]
+        vi = v_ref[:, i, :] / di[None, :]
+        v_ref[:, i, :] = vi
+        if i > 0:
+            v_ref[:, :i, :] = (
+                v_ref[:, :i, :] - l_ref[i, :i, :][None, :, :] * vi[:, None, :]
+            )
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _factor_bl(W, dT, reg, *, m: int):
+    """(m², n), (n, B), (B,) → L (m, m, B)."""
+    n, B = dT.shape
+    dtype = dT.dtype
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        functools.partial(_factor_kernel, m=m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, m, B), dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * m * n * B + (m**3) * B // 3,
+            bytes_accessed=(m * m * n + n * B + 2 * m * m * B) * dtype.itemsize,
+            transcendentals=m * B,
+        ),
+    )(W, dT, reg[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k_rhs"))
+def _solve_bl(L, R, *, m: int, k_rhs: int):
+    """L (m, m, B), R (k, m, B) → V (k, m, B)."""
+    B = L.shape[-1]
+    dtype = L.dtype
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        functools.partial(_solve_kernel, m=m, k_rhs=k_rhs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_rhs, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_rhs, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_rhs, m, B), dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k_rhs * m * m * B,
+            bytes_accessed=(m * m * B + 2 * k_rhs * m * B) * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(L, R)
+
+
+def _pad_lanes(arr, B):
+    """Pad the trailing (lane) axis up to a LANES multiple."""
+    Bp = -(-B // LANES) * LANES
+    if Bp == B:
+        return arr, B
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, Bp - B)]
+    return jnp.pad(arr, pad, constant_values=1.0), Bp
+
+
+# ---------------------------------------------------------------------------
+# KernelSet implementation
+# ---------------------------------------------------------------------------
+
+
+class PreparedBL(typing.NamedTuple):
+    """Prepared shared-A context + the (m², n) self-outer-product W."""
+
+    A: typing.Any
+    Asq: typing.Any
+    W: typing.Any
+
+
+class BLFactor(typing.NamedTuple):
+    """Batch-last factorization: L is (m, m, Bp) lane-padded."""
+
+    ctx: typing.Any
+    L: typing.Any
+    d: typing.Any
+    reg: typing.Any
+
+
+class BatchLastKernels(KernelSet):
+    """Pallas batch-last kernel set (requires shared 2-D A in f32/bf16).
+
+    Falls back to the XLA reference implementation for per-instance
+    (3-D) A and for f64 (Mosaic has no f64 path; the mixed-precision
+    finish phase uses XLA's emulated f64 on TPU).
+    """
+
+    name = "pallas_batchlast"
+
+    def prepare(self, A):
+        if A.ndim != 2:
+            return REFERENCE_KERNELS.prepare(A)
+        m, n = A.shape
+        W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
+        return PreparedBL(A=A, Asq=A * A, W=W)
+
+    def mv(self, ctx, x):
+        return jnp.einsum("...mn,...n->...m", ctx.A, x)
+
+    def rmv(self, ctx, y):
+        return jnp.einsum("...mn,...m->...n", ctx.A, y)
+
+    def factor(self, ctx, d, reg_eps):
+        if not isinstance(ctx, PreparedBL) or d.dtype == jnp.float64:
+            base = ctx if isinstance(ctx, PreparedA) else PreparedA(ctx.A, ctx.Asq)
+            return REFERENCE_KERNELS.factor(base, d, reg_eps)
+        m = ctx.A.shape[0]
+        B = d.shape[0]
+        diag = jnp.einsum("mn,bn->bm", ctx.Asq, d)
+        reg = (reg_eps * jnp.max(diag, axis=-1)).astype(d.dtype)
+        dT, _ = _pad_lanes(d.T, B)
+        regp, _ = _pad_lanes(reg, B)
+        L = _factor_bl(ctx.W, dT, regp, m=m)
+        return BLFactor(ctx=ctx, L=L, d=d, reg=reg)
+
+    def solve(self, fac, rs):
+        if not isinstance(fac, BLFactor):
+            return REFERENCE_KERNELS.solve(fac, rs)
+        m = fac.L.shape[0]
+        B = rs[0].shape[0]
+        R = jnp.stack([r.T for r in rs], axis=0)  # (k, m, B)
+        Rp, _ = _pad_lanes(R, B)
+        V = _solve_bl(fac.L, Rp, m=m, k_rhs=len(rs))
+        return tuple(V[i, :, :B].T for i in range(len(rs)))
+
+
+BATCHLAST_KERNELS = BatchLastKernels()

@@ -1,83 +1,116 @@
-"""Reference (pure-jnp/XLA) implementations of the IPM hot-path ops.
+"""Reference (pure-jnp/XLA) implementation of the IPM hot-path kernel set.
 
-These define the kernel interface contract; the Pallas implementations in
-:mod:`pycllp_tpu.ops.normal_eq` / :mod:`pycllp_tpu.ops.cholesky` /
-:mod:`pycllp_tpu.ops.trsm` swap in behind the same signatures (the
+Defines the kernel interface contract; the Pallas batch-last kernels in
+:mod:`pycllp_tpu.ops.batchlast` implement the same interface (the
 upstream analogue is the NumPy-vs-vendored-C-vs-OpenCL backend split;
 reference mount empty this build — SURVEY.md §0).
 
-Shape convention: a leading instance/batch axis ``...`` on every array;
-``A`` may omit it (shared structure across scenarios — the stochastic-LP
-case, BASELINE.json config 5).
+Interface (all arrays carry a leading instance axis ``...`` unless
+stated; ``A`` may omit it — shared structure across scenarios):
+
+* ``prepare(A) -> ctx`` — once per structure, outside the IPM loop
+  (precomputed products live here; XLA hoists them but Pallas paths
+  need them materialised).
+* ``mv(ctx, x)`` / ``rmv(ctx, y)`` — ``A @ x`` / ``Aᵀ @ y``.
+* ``factor(ctx, d, reg_eps) -> fac`` — factorize the normal matrix
+  ``M = A·diag(d)·Aᵀ + δI`` with ``δ = reg_eps · max(diag)`` per
+  instance (the analogue of dynamic small-pivot regularization in
+  sparse LDLᵀ codes).  ``fac`` is opaque.
+* ``solve(fac, rs) -> tuple`` — apply ``M⁻¹`` to each RHS in the tuple
+  (multi-RHS so factorization traffic is shared).
+* ``matvec_M(fac, v)`` — apply ``M`` (for iterative refinement), via
+  the identity ``M v = A(d ⊙ Aᵀv) + δv`` so M is never materialised.
 """
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = [
-    "mv",
-    "rmv",
-    "form_normal",
-    "cholesky",
-    "chol_solve",
-    "KernelSet",
-    "REFERENCE_KERNELS",
-]
+__all__ = ["KernelSet", "ReferenceKernels", "REFERENCE_KERNELS"]
 
 
-def mv(A, x):
-    """Batched ``A @ x``: (..., m, n) @ (..., n) → (..., m)."""
-    return jnp.einsum("...mn,...n->...m", A, x)
+class PreparedA(NamedTuple):
+    A: Any  # (..., m, n)
+    Asq: Any  # (..., m, n) — elementwise A², for diag(M) = A²·d
 
 
-def rmv(A, y):
-    """Batched ``Aᵀ @ y``: (..., m, n)ᵀ @ (..., m) → (..., n)."""
-    return jnp.einsum("...mn,...m->...n", A, y)
-
-
-def form_normal(A, d, reg_eps: float):
-    """Normal-equations matrix ``M = A·diag(d)·Aᵀ + δI``.
-
-    ``d`` is the (positive) scaling vector x/z.  The Tikhonov term
-    ``δ = reg_eps · max(diag M)`` is relative to the per-instance diagonal
-    so one static knob covers wildly different μ regimes (the analogue of
-    the dynamic small-pivot regularization in sparse LDLᵀ codes).
-    """
-    M = jnp.einsum("...mn,...n,...kn->...mk", A, d, A)
-    m = M.shape[-1]
-    eye = jnp.eye(m, dtype=M.dtype)
-    diag_max = jnp.max(jnp.einsum("...ii->...i", M), axis=-1)
-    return M + (reg_eps * diag_max)[..., None, None] * eye
-
-
-def cholesky(M):
-    """Batched lower Cholesky factor of (..., m, m)."""
-    return lax.linalg.cholesky(M)
-
-
-def chol_solve(L, r):
-    """Solve ``L Lᵀ v = r`` for batched L (..., m, m), r (..., m)."""
-    r2 = r[..., None]
-    t = lax.linalg.triangular_solve(L, r2, left_side=True, lower=True)
-    v = lax.linalg.triangular_solve(L, t, left_side=True, lower=True, transpose_a=True)
-    return v[..., 0]
+class NormalFactor(NamedTuple):
+    ctx: PreparedA
+    L: Any  # (..., m, m) lower Cholesky factor
+    d: Any  # (..., n) scaling at factorization
+    reg: Any  # (...,) diagonal shift δ
 
 
 class KernelSet:
-    """Pluggable hot-path kernel bundle consumed by the HSD core."""
+    """Abstract hot-path kernel bundle consumed by the HSD core.
 
-    def __init__(self, *, mv=mv, rmv=rmv, form_normal=form_normal, cholesky=cholesky, chol_solve=chol_solve, name="reference"):
-        self.mv = mv
-        self.rmv = rmv
-        self.form_normal = form_normal
-        self.cholesky = cholesky
-        self.chol_solve = chol_solve
-        self.name = name
+    Implementations must be hashable singletons (used as static jit
+    args); statelessness is assumed.
+    """
+
+    name = "abstract"
+
+    def prepare(self, A) -> PreparedA:
+        raise NotImplementedError
+
+    def mv(self, ctx: PreparedA, x):
+        raise NotImplementedError
+
+    def rmv(self, ctx: PreparedA, y):
+        raise NotImplementedError
+
+    def factor(self, ctx: PreparedA, d, reg_eps: float) -> NormalFactor:
+        raise NotImplementedError
+
+    def solve(self, fac: NormalFactor, rs: tuple) -> tuple:
+        raise NotImplementedError
+
+    def matvec_M(self, fac: NormalFactor, v):
+        ctx = fac.ctx
+        return self.mv(ctx, fac.d * self.rmv(ctx, v)) + fac.reg[..., None] * v
 
     def __repr__(self):
         return f"KernelSet({self.name})"
 
 
-REFERENCE_KERNELS = KernelSet()
+class ReferenceKernels(KernelSet):
+    """XLA-native implementation: einsum + lax.linalg batched primitives."""
+
+    name = "reference"
+
+    def prepare(self, A) -> PreparedA:
+        return PreparedA(A=A, Asq=A * A)
+
+    def mv(self, ctx, x):
+        return jnp.einsum("...mn,...n->...m", ctx.A, x)
+
+    def rmv(self, ctx, y):
+        return jnp.einsum("...mn,...m->...n", ctx.A, y)
+
+    def factor(self, ctx, d, reg_eps):
+        A = ctx.A
+        M = jnp.einsum("...mn,...n,...kn->...mk", A, d, A)
+        diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
+        reg = reg_eps * jnp.max(diag, axis=-1)
+        m = M.shape[-1]
+        M = M + reg[..., None, None] * jnp.eye(m, dtype=M.dtype)
+        L = lax.linalg.cholesky(M)
+        return NormalFactor(ctx=ctx, L=L, d=d, reg=reg)
+
+    def solve(self, fac, rs):
+        L = fac.L
+        out = []
+        for r in rs:
+            r2 = r[..., None]
+            t = lax.linalg.triangular_solve(L, r2, left_side=True, lower=True)
+            v = lax.linalg.triangular_solve(
+                L, t, left_side=True, lower=True, transpose_a=True
+            )
+            out.append(v[..., 0])
+        return tuple(out)
+
+
+REFERENCE_KERNELS = ReferenceKernels()

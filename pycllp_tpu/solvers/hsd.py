@@ -89,10 +89,10 @@ def _norm(v):
     return jnp.linalg.norm(v, axis=-1)
 
 
-def _residuals(A, b, c, x, y, z, tau, kappa, k):
+def _residuals(ctx, b, c, x, y, z, tau, kappa, k):
     n_plus_1 = x.shape[-1] + 1
-    rp = b * tau[..., None] - k.mv(A, x)
-    rd = c * tau[..., None] - k.rmv(A, y) - z
+    rp = b * tau[..., None] - k.mv(ctx, x)
+    rd = c * tau[..., None] - k.rmv(ctx, y) - z
     rg = jnp.sum(c * x, axis=-1) - jnp.sum(b * y, axis=-1) + kappa
     mu = (jnp.sum(x * z, axis=-1) + tau * kappa) / n_plus_1
     return rp, rd, rg, mu
@@ -144,44 +144,62 @@ def _max_step(x, dx, z, dz, tau, dtau, kappa, dkappa):
     return a
 
 
-def _make_step_fn(A, b, c, opts: SolverOptions, kset: KernelSet, dtype):
-    """Build the per-iteration Newton step closure (batched over lanes)."""
+def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
+    """Build the per-iteration Newton step closure (batched over lanes).
+
+    Solve schedule per iteration (one factorization, 2 + 1 RHS):
+    stage 1 jointly solves the τ-column system (p, q) and the predictor
+    system; stage 2 solves the corrector.  Multi-RHS solves share the
+    factorization read, which matters once the Pallas kernels make the
+    solve memory-bound.
+    """
     reg_eps = opts.resolved_reg_eps(dtype)
     refine = opts.resolved_refine_steps(dtype)
     kkt_refine = opts.kkt_refine
 
     def step(x, y, z, tau, kappa, rp, rd, rg, mu):
         dinv = x / z  # "D" = X Z⁻¹
-        M = kset.form_normal(A, dinv, reg_eps)
-        L = kset.cholesky(M)
+        fac = kset.factor(ctx, dinv, reg_eps)
 
-        def msolve(r):
-            v = kset.chol_solve(L, r)
+        def msolve(rs):
+            vs = kset.solve(fac, rs)
             for _ in range(refine):
-                v = v + kset.chol_solve(L, r - jnp.einsum("...ij,...j->...i", M, v))
-            return v
+                es = tuple(r - kset.matvec_M(fac, v) for r, v in zip(rs, vs))
+                cs = kset.solve(fac, es)
+                vs = tuple(v + cv for v, cv in zip(vs, cs))
+            return vs
 
-        def sym_solve(r1, r2):
-            v = msolve(r2 + kset.mv(A, dinv * r1))
-            u = dinv * (kset.rmv(A, v) - r1)
-            return u, v
+        def sym_parts(r1, v):
+            """Recover u = D(Aᵀv − r1) for a solved v."""
+            return dinv * (kset.rmv(ctx, v) - r1)
 
-        p, q = sym_solve(c, b)
+        # ---- stage 1: τ-column (p, q) + predictor, one joint solve ----
+        t_pq = b + kset.mv(ctx, dinv * c)
+        # predictor RHS (γ=0, η=1, no aff products):
+        #   rhs_d − rhs_xs/x = rd − (−xz)/x = rd + z
+        r1_pred = rd + z
+        t_pred = rp + kset.mv(ctx, dinv * r1_pred)
+        if opts.mehrotra:
+            q, v_pred = msolve((t_pq, t_pred))
+        else:
+            gamma0 = jnp.full_like(tau, opts.gamma)
+            eta0 = 1.0 - gamma0
+            rxs0 = (gamma0 * mu)[..., None] - x * z
+            r1_c = eta0[..., None] * rd - rxs0 / x
+            t_c = eta0[..., None] * rp + kset.mv(ctx, dinv * r1_c)
+            q, v_c = msolve((t_pq, t_c))
+        p = sym_parts(c, q)
         # denominator of the dτ formula: κ/τ + (bᵀq − cᵀp)
         denom = kappa / tau + jnp.sum(b * q, axis=-1) - jnp.sum(c * p, axis=-1)
 
-        def solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
-            """Solve the 5-block HSD Newton system for one RHS set:
-
-                A dx − b dτ              = rhs_p
-                Aᵀdy + dz − c dτ         = rhs_d
-                bᵀdy − cᵀdx − dκ         = rhs_g
-                Z dx + X dz              = rhs_xs
-                κ dτ + τ dκ              = rhs_tk
-            """
-            u, v = sym_solve(rhs_d - rhs_xs / x, rhs_p)
+        def assemble(v, r1, rhs_g, rhs_xs, rhs_tk):
+            """Given the normal-equations solution v for a Newton RHS,
+            recover the full direction (dx, dy, dz, dτ, dκ)."""
+            u = sym_parts(r1, v)
             dtau = (
-                rhs_g + rhs_tk / tau - (jnp.sum(b * v, axis=-1) - jnp.sum(c * u, axis=-1))
+                rhs_g
+                + rhs_tk / tau
+                - (jnp.sum(b * v, axis=-1) - jnp.sum(c * u, axis=-1))
             ) / denom
             dx = u + p * dtau[..., None]
             dy = v + q * dtau[..., None]
@@ -189,12 +207,17 @@ def _make_step_fn(A, b, c, opts: SolverOptions, kset: KernelSet, dtype):
             dkappa = (rhs_tk - kappa * dtau) / tau
             return dx, dy, dz, dtau, dkappa
 
-        def solve_refined(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
-            d = solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk)
+        def solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
+            r1 = rhs_d - rhs_xs / x
+            (v,) = msolve((rhs_p + kset.mv(ctx, dinv * r1),))
+            return assemble(v, r1, rhs_g, rhs_xs, rhs_tk)
+
+        def kkt_correct(d, rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
+            """Iterative refinement on the full 5-block Newton system."""
             for _ in range(kkt_refine):
                 dx, dy, dz, dtau, dkappa = d
-                e_p = rhs_p - (kset.mv(A, dx) - b * dtau[..., None])
-                e_d = rhs_d - (kset.rmv(A, dy) + dz - c * dtau[..., None])
+                e_p = rhs_p - (kset.mv(ctx, dx) - b * dtau[..., None])
+                e_d = rhs_d - (kset.rmv(ctx, dy) + dz - c * dtau[..., None])
                 e_g = rhs_g - (
                     jnp.sum(b * dy, axis=-1) - jnp.sum(c * dx, axis=-1) - dkappa
                 )
@@ -204,22 +227,13 @@ def _make_step_fn(A, b, c, opts: SolverOptions, kset: KernelSet, dtype):
                 d = tuple(a + b_ for a, b_ in zip(d, corr))
             return d
 
-        def get_delta(gamma, dxa, dza, dta, dka):
-            eta = 1.0 - gamma
-            return solve_refined(
-                eta[..., None] * rp,
-                eta[..., None] * rd,
-                eta * rg,
-                (gamma * mu)[..., None] - x * z - dxa * dza,
-                gamma * mu - tau * kappa - dta * dka,
-            )
-
-        zero_n = jnp.zeros_like(x)
-        zero_s = jnp.zeros_like(tau)
-
         if opts.mehrotra:
-            # predictor: γ=0, pure Newton on the residuals
-            dxa, dya, dza, dta, dka = get_delta(zero_s, zero_n, zero_n, zero_s, zero_s)
+            # predictor direction from the joint solve
+            rxs_a = -x * z
+            rtk_a = -tau * kappa
+            da = assemble(v_pred, r1_pred, rg, rxs_a, rtk_a)
+            da = kkt_correct(da, rp, rd, rg, rxs_a, rtk_a)
+            dxa, dya, dza, dta, dka = da
             a_aff = jnp.minimum(1.0, _max_step(x, dxa, z, dza, tau, dta, kappa, dka))
             aan = a_aff[..., None]
             mu_aff = (
@@ -227,10 +241,22 @@ def _make_step_fn(A, b, c, opts: SolverOptions, kset: KernelSet, dtype):
                 + (tau + a_aff * dta) * (kappa + a_aff * dka)
             ) / (x.shape[-1] + 1)
             gamma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
-            dx, dy, dz, dtau, dkappa = get_delta(gamma, dxa, dza, dta, dka)
+            # ---- stage 2: corrector ----
+            eta = 1.0 - gamma
+            rhs_p = eta[..., None] * rp
+            rhs_d = eta[..., None] * rd
+            rhs_g = eta * rg
+            rhs_xs = (gamma * mu)[..., None] - x * z - dxa * dza
+            rhs_tk = gamma * mu - tau * kappa - dta * dka
+            d = solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk)
+            d = kkt_correct(d, rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk)
+            dx, dy, dz, dtau, dkappa = d
         else:
-            gamma = jnp.full_like(tau, opts.gamma)
-            dx, dy, dz, dtau, dkappa = get_delta(gamma, zero_n, zero_n, zero_s, zero_s)
+            rhs_g0 = eta0 * rg
+            rtk0 = gamma0 * mu - tau * kappa
+            d = assemble(v_c, r1_c, rhs_g0, rxs0, rtk0)
+            d = kkt_correct(d, eta0[..., None] * rp, eta0[..., None] * rd, rhs_g0, rxs0, rtk0)
+            dx, dy, dz, dtau, dkappa = d
 
         alpha = jnp.minimum(
             1.0, opts.alpha0 * _max_step(x, dx, z, dz, tau, dtau, kappa, dkappa)
@@ -248,7 +274,7 @@ def _make_step_fn(A, b, c, opts: SolverOptions, kset: KernelSet, dtype):
 
 
 def _run_phase(
-    A,
+    ctx,
     b,
     c,
     state: HSDState,
@@ -260,14 +286,14 @@ def _run_phase(
     reduce_any: Callable,
 ) -> HSDState:
     """Run the masked IPM loop until all lanes finish or ``k == maxiter``."""
-    step = _make_step_fn(A, b, c, opts, kset, dtype)
+    step = _make_step_fn(ctx, b, c, opts, kset, dtype)
     patience = opts.stall_patience
 
     def cond(s: HSDState):
         return (s.k < maxiter) & reduce_any(s.status == _RUNNING)
 
     def body(s: HSDState) -> HSDState:
-        rp, rd, rg, mu = _residuals(A, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
+        rp, rd, rg, mu = _residuals(ctx, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
         by = jnp.sum(b * s.y, axis=-1)
         ind = _indicators(rp, rd, rg, mu, s.tau, s.kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
         status = _classify(ind, s.tau, s.kappa, s.status, tol)
@@ -333,9 +359,9 @@ def _run_phase(
     return lax.while_loop(cond, body, state)
 
 
-def _finalize(A, b, c, s: HSDState, kset: KernelSet, tol):
+def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
     """Fold the current iterate into `best`, classify on the best iterate."""
-    rp, rd, rg, mu = _residuals(A, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
+    rp, rd, rg, mu = _residuals(ctx, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
     by = jnp.sum(b * s.y, axis=-1)
     ind = _indicators(rp, rd, rg, mu, s.tau, s.kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
     score = jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
@@ -358,7 +384,7 @@ def _finalize(A, b, c, s: HSDState, kset: KernelSet, tol):
     tau = jnp.where(use_best, s.best_tau, s.tau)
     kappa = jnp.where(use_best, s.best_kappa, s.kappa)
 
-    rp, rd, rg, mu = _residuals(A, b, c, x, y, z, tau, kappa, kset)
+    rp, rd, rg, mu = _residuals(ctx, b, c, x, y, z, tau, kappa, kset)
     by = jnp.sum(b * y, axis=-1)
     ind = _indicators(rp, rd, rg, mu, tau, kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
     # STALLED lanes are re-opened for this final test: if their best
@@ -417,25 +443,36 @@ def hsd_solve_batched(
 
 def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
     dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b, c)
-    A = jnp.asarray(A, dtype)
-    b = jnp.asarray(b, dtype)
-    c = jnp.asarray(c, dtype)
-    B, m = b.shape
-    n = c.shape[-1]
+    finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
+    # With a finish phase configured, scaling and the phase-2 arrays are
+    # built in the WIDE dtype from the original inputs; phase 1 sees the
+    # rounded copies.  (Upcasting already-rounded phase-1 arrays would
+    # make the polish phase faithfully solve the rounded problem and
+    # freeze in an O(ε_narrow) objective error.)
+    wide = jnp.dtype(opts.finish_dtype) if finish else dtype
+    A_w = jnp.asarray(A, wide)
+    b_w = jnp.asarray(b, wide)
+    c_w = jnp.asarray(c, wide)
+    B, m = b_w.shape
+    n = c_w.shape[-1]
 
     if opts.scale:
-        scaling = ruiz_equilibrate(A)
-        A_s, b_s, c_s = scale_problem(A, b, c, scaling)
+        scaling = ruiz_equilibrate(A_w)
+        A_sw, b_sw, c_sw = scale_problem(A_w, b_w, c_w, scaling)
     else:
         scaling = None
-        A_s, b_s, c_s = A, b, c
+        A_sw, b_sw, c_sw = A_w, b_w, c_w
+    A_s = A_sw.astype(dtype)
+    b_s = b_sw.astype(dtype)
+    c_s = c_sw.astype(dtype)
 
     x0 = jnp.ones((B, n), dtype)
     y0 = jnp.zeros((B, m), dtype)
     z0 = jnp.ones((B, n), dtype)
     tau0 = jnp.ones((B,), dtype)
     kappa0 = jnp.ones((B,), dtype)
-    rp, rd, rg, mu = _residuals(A_s, b_s, c_s, x0, y0, z0, tau0, kappa0, kset)
+    ctx = kset.prepare(A_s)
+    rp, rd, rg, mu = _residuals(ctx, b_s, c_s, x0, y0, z0, tau0, kappa0, kset)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     state = HSDState(
         x=x0,
@@ -459,17 +496,19 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
         best_k=jnp.zeros((B,), jnp.int32),
     )
 
-    finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
     phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
     state = _run_phase(
-        A_s, b_s, c_s, state, opts, kset, dtype, phase1_tol, opts.maxiter, reduce_any
+        ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, opts.maxiter, reduce_any
     )
 
     if finish:
         # continue the SAME interior state in the wider dtype: the bulk of
-        # iterations ran on the fast dtype; the last few polish to full tol.
+        # iterations ran on the fast dtype; the last few polish to full
+        # tol — against the wide-dtype problem data, NOT an upcast of the
+        # rounded phase-1 copies (see note at the top of this function).
         fdtype = jnp.dtype(opts.finish_dtype)
-        A_f, b_f, c_f = A_s.astype(fdtype), b_s.astype(fdtype), c_s.astype(fdtype)
+        A_f, b_f, c_f = A_sw, b_sw, c_sw
+        ctx = kset.prepare(A_f)
         state = _cast_state(state, fdtype)
         reopen = (state.status != jnp.int32(int(Status.NUMERICAL)))
         state = state._replace(
@@ -478,7 +517,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
             best_k=jnp.full_like(state.best_k, state.k),
         )
         state = _run_phase(
-            A_f,
+            ctx,
             b_f,
             c_f,
             state,
@@ -491,7 +530,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
         )
         A_s, b_s, c_s = A_f, b_f, c_f
 
-    x, y, z, tau, kappa, status, ind = _finalize(A_s, b_s, c_s, state, kset, opts.tol)
+    x, y, z, tau, kappa, status, ind = _finalize(ctx, b_s, c_s, state, kset, opts.tol)
 
     out_dtype = x.dtype
     tau_safe = jnp.maximum(tau, jnp.asarray(jnp.finfo(out_dtype).tiny, out_dtype))
@@ -499,11 +538,9 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
     y_hat = y / tau_safe[..., None]
     z_hat = z / tau_safe[..., None]
     if scaling is not None:
-        sc = scaling
-        if finish:
-            sc = type(sc)(*[v.astype(out_dtype) for v in sc])
+        sc = type(scaling)(*[v.astype(out_dtype) for v in scaling])
         x_hat, y_hat, z_hat = unscale_solution(x_hat, y_hat, z_hat, sc)
-    objective = jnp.sum(c.astype(out_dtype) * x_hat, axis=-1)
+    objective = jnp.sum(c_w.astype(out_dtype) * x_hat, axis=-1)
 
     return {
         "x": x_hat,

@@ -28,8 +28,10 @@ def ruiz_equilibrate(A, iters: int = 10, eps: float = 1e-12) -> RuizScaling:
         As = A * r[..., :, None] * s[..., None, :]
         row_norm = jnp.max(jnp.abs(As), axis=-1)
         col_norm = jnp.max(jnp.abs(As), axis=-2)
-        r = r / jnp.sqrt(jnp.maximum(row_norm, eps))
-        s = s / jnp.sqrt(jnp.maximum(col_norm, eps))
+        # all-zero rows/columns (e.g. padding in heterogeneous batches)
+        # keep scale 1 rather than blowing up by 1/sqrt(eps)
+        r = r / jnp.where(row_norm > eps, jnp.sqrt(row_norm), 1.0)
+        s = s / jnp.where(col_norm > eps, jnp.sqrt(col_norm), 1.0)
     return RuizScaling(row=r, col=s)
 
 

@@ -109,11 +109,11 @@ class TestHSDEquality:
         indicator contract (SURVEY.md §7 hard part 1 disposition)."""
         m, n = 16, 40
         A, b, c = random_equality_lp(m, n, seed=11)
+        # f64 inputs: phase 1 rounds internally; the polish phase must see
+        # the true data, so the full 1e-6 contract holds end to end.
         out = hsd_solve(
-            A.astype(np.float32),
-            b.astype(np.float32),
-            c.astype(np.float32),
-            SolverOptions(tol=1e-6, dtype="float32", finish_dtype="float64"),
+            A, b, c,
+            SolverOptions(tol=1e-7, dtype="float32", finish_dtype="float64"),
         )
         ref_obj, _ = scipy_objective(A, b, c)
         assert int(out["status"]) == int(Status.OPTIMAL)
