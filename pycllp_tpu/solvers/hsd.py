@@ -317,6 +317,26 @@ def _run_phase(
         status = jnp.where(stalled, jnp.int32(int(Status.STALLED)), status)
         active = status == _RUNNING
 
+        if opts.log_every:
+            from pycllp_tpu.utils.logging import iteration_record
+
+            nact = jnp.sum(active)
+            mx = lambda v: jnp.max(jnp.where(active, v, 0.0))
+            lax.cond(
+                s.k % opts.log_every == 0,
+                lambda: jax.debug.callback(
+                    iteration_record,
+                    str(jnp.dtype(s.x.dtype)),
+                    s.k,
+                    nact,
+                    mx(ind.rho_p),
+                    mx(ind.rho_d),
+                    mx(ind.rho_g),
+                    jnp.sum(jnp.where(active, mu, 0.0)) / jnp.maximum(nact, 1),
+                ),
+                lambda: None,
+            )
+
         xn, yn, zn, taun, kappan = step(s.x, s.y, s.z, s.tau, s.kappa, rp, rd, rg, mu)
 
         # numerical guard: a lane whose step went non-finite keeps its old

@@ -97,6 +97,8 @@ class SolverOptions:
     finish_dtype: str | None = None
     finish_maxiter: int = 20
     switch_tol: float = 1e-3
+    log_every: int = 0  # emit structured per-iteration metrics every k
+    # iterations (0 = off); see pycllp_tpu.utils.logging
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
