@@ -5,5 +5,22 @@ from pycllp_tpu.parallel.shard import (
     scenario_mesh,
     sharded_hsd_solve,
 )
+from pycllp_tpu.parallel.schur import column_sharded_hsd_solve, model_mesh
+from pycllp_tpu.parallel.distributed import (
+    global_scenario_mesh,
+    host_local_batch,
+    initialize,
+    is_distributed,
+)
 
-__all__ = ["CollectiveAny", "scenario_mesh", "sharded_hsd_solve"]
+__all__ = [
+    "CollectiveAny",
+    "column_sharded_hsd_solve",
+    "global_scenario_mesh",
+    "host_local_batch",
+    "initialize",
+    "is_distributed",
+    "model_mesh",
+    "scenario_mesh",
+    "sharded_hsd_solve",
+]

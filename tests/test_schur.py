@@ -1,0 +1,71 @@
+"""Column-sharded (big-LP / model-parallel) HSD tests on the 8-device
+CPU mesh: the psum-assembled normal matrix must reproduce the unsharded
+solve exactly (same algorithm, same arithmetic up to reduction order)."""
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import jax
+
+from pycllp_tpu import SolverOptions, Status
+from pycllp_tpu.io.generate import random_equality_lp
+from pycllp_tpu.parallel import column_sharded_hsd_solve, model_mesh
+from pycllp_tpu.solvers.hsd import hsd_solve
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8
+    return model_mesh(8)
+
+
+class TestColumnSharded:
+    @pytest.mark.parametrize("shape", [(10, 40), (24, 64)])
+    def test_matches_scipy(self, mesh8, shape):
+        m, n = shape
+        A, b, c = random_equality_lp(m, n, seed=m)
+        out = column_sharded_hsd_solve(A, b, c, SolverOptions(tol=1e-8, scale=False), mesh=mesh8)
+        assert int(np.asarray(out["status"])) == int(Status.OPTIMAL)
+        res = linprog(c, A_eq=A, b_eq=b, bounds=[(0, None)] * n, method="highs")
+        np.testing.assert_allclose(
+            float(np.asarray(out["objective"])), res.fun, rtol=1e-6, atol=1e-6
+        )
+        x = np.asarray(out["x"])
+        assert x.shape == (n,)
+        np.testing.assert_allclose(A @ x, b, rtol=1e-6, atol=1e-6)
+
+    def test_matches_unsharded(self, mesh8):
+        m, n = 12, 48
+        A, b, c = random_equality_lp(m, n, seed=61)
+        opts = SolverOptions(tol=1e-9, scale=False)
+        ref = hsd_solve(A, b, c, opts)
+        out = column_sharded_hsd_solve(A, b, c, opts, mesh=mesh8)
+        np.testing.assert_allclose(
+            float(np.asarray(out["objective"])),
+            float(ref["objective"]),
+            rtol=1e-9,
+            atol=1e-10,
+        )
+        assert int(np.asarray(out["iterations"])) <= int(ref["iterations"]) + 2
+
+    def test_infeasible(self, mesh8):
+        A = np.zeros((1, 8))
+        A[0, :] = 1.0
+        b = np.array([-1.0])
+        c = np.ones(8)
+        out = column_sharded_hsd_solve(A, b, c, SolverOptions(tol=1e-8, scale=False), mesh=mesh8)
+        assert int(np.asarray(out["status"])) == int(Status.INFEASIBLE)
+
+    def test_indivisible_raises(self, mesh8):
+        A, b, c = random_equality_lp(5, 14, seed=3)
+        with pytest.raises(ValueError, match="divisible"):
+            column_sharded_hsd_solve(A, b, c, SolverOptions(), mesh=mesh8)
+
+    def test_one_device(self):
+        m, n = 8, 24
+        A, b, c = random_equality_lp(m, n, seed=5)
+        out = column_sharded_hsd_solve(
+            A, b, c, SolverOptions(tol=1e-8, scale=False), mesh=model_mesh(1)
+        )
+        assert int(np.asarray(out["status"])) == int(Status.OPTIMAL)

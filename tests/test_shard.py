@@ -85,3 +85,24 @@ class TestShardedSolve:
         mask = np.ones(B, bool)
         mask[::4] = False
         assert np.all(st[mask] == int(Status.OPTIMAL))
+
+
+class TestDistributedHelpers:
+    def test_single_process_noop(self):
+        from pycllp_tpu.parallel import initialize, is_distributed
+
+        assert initialize() is False
+        assert is_distributed() is False
+
+    def test_global_mesh(self):
+        from pycllp_tpu.parallel import global_scenario_mesh
+
+        mesh = global_scenario_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("scenario",)
+
+    def test_host_local_batch(self):
+        from pycllp_tpu.parallel import host_local_batch
+
+        lo, count = host_local_batch(100)
+        assert (lo, count) == (0, 100)  # single process owns everything
