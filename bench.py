@@ -1,13 +1,14 @@
-"""Benchmark harness: batched 64x64 LP throughput per chip (BASELINE.md).
+"""Benchmark harness (BASELINE.md eval configs).
 
-Prints ONE JSON line to stdout:
+Default mode measures config 3 — 65,536 dense 64x64 LPs, f32, one chip —
+and prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "LP/s", "vs_baseline": N/1e5}
-Diagnostics (status mix, objective accuracy vs scipy, per-config numbers)
-go to stderr.
+Diagnostics go to stderr.
 
-Configs measured (BASELINE.json):
-  main   — 65,536 dense 64x64 LPs (scenario-per-lane), f32, shared A,
-           solved in chunks; the headline LPs/s/chip number.
+Env knobs:
+  BENCH_MODE     throughput (default) | batch32 | netlib | weak | sweep | correctness
+  BENCH_KSET     reference | pallas      (kernel set for the hot path)
+  BENCH_TOTAL / BENCH_CHUNK / BENCH_M / BENCH_N / BENCH_REPEATS
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from pycllp_tpu.solvers.hsd import hsd_solve_batched  # noqa: E402
 
 BASELINE_LPS_PER_SEC = 1.0e5  # BASELINE.json north-star
 
+MODE = os.environ.get("BENCH_MODE", "throughput")
 M = int(os.environ.get("BENCH_M", 64))
 N = int(os.environ.get("BENCH_N", 64))
 TOTAL = int(os.environ.get("BENCH_TOTAL", 65536))
@@ -41,16 +43,61 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def get_kset():
+    name = os.environ.get("BENCH_KSET", "reference")
+    if name == "pallas":
+        from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
+
+        return BATCHLAST_KERNELS
+    from pycllp_tpu.ops.reference import REFERENCE_KERNELS
+
+    return REFERENCE_KERNELS
+
+
 def bench_options() -> SolverOptions:
-    # practical f32 config: 1e-5 indicator tol (objective accuracy lands
-    # ~1e-6 relative; checked below), early stall cutoff to avoid burning
-    # iterations at the f32 floor.
+    # practical f32 config: 1e-5 indicator tol, early stall cutoff.
     return SolverOptions(tol=1e-5, maxiter=40, dtype="float32", stall_patience=6)
 
 
-def main():
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 1),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 4),
+            }
+        )
+    )
+
+
+def accuracy_check(lp, objective, n, total):
+    try:
+        from scipy.optimize import linprog
+
+        rels = []
+        for i in np.linspace(0, total - 1, 8, dtype=int):
+            res = linprog(
+                -np.asarray(lp.c)[i].astype(np.float64),
+                A_ub=np.asarray(lp.A, np.float64),
+                b_ub=np.asarray(lp.b)[i].astype(np.float64),
+                bounds=[(0, None)] * n,
+                method="highs",
+            )
+            if res.status == 0:
+                std_obj = -float(objective[i])  # equality obj is negated
+                rels.append(abs(std_obj - (-res.fun)) / max(1.0, abs(res.fun)))
+        log(f"objective rel-err vs scipy (8 lanes): max {max(rels):.2e} mean {np.mean(rels):.2e}")
+    except Exception as e:  # pragma: no cover
+        log(f"accuracy check skipped: {e}")
+
+
+def run_throughput(m=M, n=N, total=TOTAL, chunk=CHUNK, emit_json=True):
     log(f"devices: {jax.devices()}")
-    lp = random_standard_lp(M, N, nlp=TOTAL, seed=3, dtype=np.float32)
+    kset = get_kset()
+    log(f"kernel set: {kset.name}")
+    lp = random_standard_lp(m, n, nlp=total, seed=3, dtype=np.float32)
     eq = lp.to_equality_form()
     A = jax.device_put(np.asarray(eq.A, np.float32))
     b_all = np.asarray(eq.b, np.float32)
@@ -58,72 +105,160 @@ def main():
     opts = bench_options()
 
     def solve_chunk(b, c):
-        out = hsd_solve_batched(A, b, c, opts)
+        out = hsd_solve_batched(A, b, c, opts, kset)
         return out["objective"], out["status"], out["iterations"]
 
-    # warmup/compile
     t0 = time.time()
-    obj, st, it = solve_chunk(b_all[:CHUNK], c_all[:CHUNK])
-    jax.block_until_ready(obj)
+    out = solve_chunk(b_all[:chunk], c_all[:chunk])
+    np.asarray(out[0])
     log(f"warmup (incl compile): {time.time() - t0:.1f}s")
 
-    n_chunks = TOTAL // CHUNK
+    n_chunks = total // chunk
     best = float("inf")
     for r in range(REPEATS):
         objs, stats, iters = [], [], []
         t0 = time.time()
         for k in range(n_chunks):
-            sl = slice(k * CHUNK, (k + 1) * CHUNK)
+            sl = slice(k * chunk, (k + 1) * chunk)
             o, s, i = solve_chunk(b_all[sl], c_all[sl])
             objs.append(o)
             stats.append(s)
             iters.append(i)
-        jax.block_until_ready(objs)
+        # data pull = the only trustworthy sync through the tunnel
+        objs = [np.asarray(o) for o in objs]
         dt = time.time() - t0
         best = min(best, dt)
-        log(f"repeat {r}: {dt:.3f}s -> {TOTAL / dt:.0f} LP/s")
+        log(f"repeat {r}: {dt:.3f}s -> {total / dt:.0f} LP/s")
 
     status = np.concatenate([np.asarray(s) for s in stats])
     iterations = np.concatenate([np.asarray(i) for i in iters])
-    objective = np.concatenate([np.asarray(o) for o in objs])
+    objective = np.concatenate(objs)
     uniq, counts = np.unique(status, return_counts=True)
     log(f"statuses: {dict(zip(uniq.tolist(), counts.tolist()))}")
-    log(
-        f"iterations min/mean/max: {iterations.min()}/{iterations.mean():.1f}/{iterations.max()}"
+    log(f"iterations min/mean/max: {iterations.min()}/{iterations.mean():.1f}/{iterations.max()}")
+    accuracy_check(lp, objective, n, total)
+
+    lps = total / best
+    if emit_json:
+        emit("LPs solved/sec/chip (batched 64x64 dense)", lps, "LP/s", lps / BASELINE_LPS_PER_SEC)
+    return lps
+
+
+def run_batch32():
+    lps = run_throughput(m=32, n=32, total=4096, chunk=1024, emit_json=False)
+    emit("LPs solved/sec/chip (batched 32x32 dense)", lps, "LP/s", lps / BASELINE_LPS_PER_SEC)
+
+
+def run_netlib():
+    from pycllp_tpu.io.netlib import fixture_names, load_fixture, pad_and_mask
+
+    probs = [load_fixture(nm) for nm in fixture_names()]
+    stds = [p.lp.to_standard_form()[0] for p in probs]
+    A, b, c, _, _ = pad_and_mask(stds, dtype=np.float32)
+    # replicate the 3 problems to a batch
+    reps = 512
+    A = np.repeat(A, reps, 0)
+    b = np.repeat(b, reps, 0)
+    c = np.repeat(c, reps, 0)
+    mm, nn = A.shape[1], A.shape[2]
+    eye = np.broadcast_to(np.eye(mm, dtype=np.float32), (A.shape[0], mm, mm))
+    A_eq = np.concatenate([A, eye], axis=2)
+    c_eq = np.concatenate([-c, np.zeros((A.shape[0], mm), np.float32)], axis=1)
+    opts = bench_options()
+    t0 = time.time()
+    out = hsd_solve_batched(A_eq, b, c_eq, opts)
+    np.asarray(out["objective"])
+    log(f"warmup: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    out = hsd_solve_batched(A_eq, b, c_eq, opts)
+    obj = np.asarray(out["objective"])
+    dt = time.time() - t0
+    total = A.shape[0]
+    log(f"netlib padded batch ({total} of {fixture_names()}, padded {mm}x{nn}): {dt:.3f}s")
+    emit("netlib padded heterogeneous LPs/s", total / dt, "LP/s", (total / dt) / BASELINE_LPS_PER_SEC)
+
+
+def run_weak():
+    """Weak scaling: iterations/s with the scenario batch sharded over
+    1..n_devices (per-device batch held constant)."""
+    from pycllp_tpu.parallel import scenario_mesh, sharded_hsd_solve
+
+    n_dev_total = jax.device_count()
+    per_dev = int(os.environ.get("BENCH_PER_DEV", 2048))
+    opts = bench_options().replace(maxiter=20, stall_patience=100, tol=1e-12)  # fixed work
+    results = {}
+    lp = random_standard_lp(M, N, nlp=per_dev * n_dev_total, seed=3, dtype=np.float32)
+    eq = lp.to_equality_form()
+    A = np.asarray(eq.A, np.float32)
+    sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_dev_total]
+    for nd in sizes:
+        mesh = scenario_mesh(nd)
+        B = per_dev * nd
+        b = np.asarray(eq.b[:B], np.float32)
+        c = np.asarray(eq.c[:B], np.float32)
+        out = sharded_hsd_solve(A, b, c, opts, mesh=mesh)
+        np.asarray(out["objective"])  # warm
+        t0 = time.time()
+        out = sharded_hsd_solve(A, b, c, opts, mesh=mesh)
+        iters = np.asarray(out["iterations"])
+        dt = time.time() - t0
+        it_per_s = iters.sum() / dt
+        results[nd] = it_per_s
+        log(f"weak scaling {nd} dev: {B} lanes, {iters.sum()} lane-iters in {dt:.3f}s -> {it_per_s:.0f} it/s")
+    base = results[sizes[0]] * max(results)
+    eff = results[sizes[-1]] / (results[sizes[0]] * sizes[-1] / sizes[0])
+    emit("weak-scaling efficiency (iterations/s)", 100 * eff, "%", eff / 0.90)
+
+
+def run_sweep():
+    from pycllp_tpu.utils.sweep import scenario_sweep
+
+    total = int(os.environ.get("BENCH_TOTAL", 131072))
+    lp = random_standard_lp(M, N, nlp=total, seed=3, dtype=np.float32)
+    eq = lp.to_equality_form()
+    A = np.asarray(eq.A, np.float32)
+    b = np.asarray(eq.b, np.float32)
+    c = np.asarray(eq.c, np.float32)
+    res = scenario_sweep(A, b, c, bench_options(), chunk=CHUNK)  # warm incl compile
+    t0 = time.time()
+    res = scenario_sweep(A, b, c, bench_options(), chunk=CHUNK)
+    dt = time.time() - t0
+    ok = (res.status == int(Status.OPTIMAL)) | (res.status == int(Status.STALLED))
+    log(f"sweep {total} scenarios in {dt:.2f}s, ok={ok.mean()*100:.1f}%")
+    emit("scenario sweep LPs/s", total / dt, "LP/s", (total / dt) / BASELINE_LPS_PER_SEC)
+
+
+def run_correctness():
+    """Config 1: afiro-scale correctness vs scipy at the 1e-6 contract."""
+    from scipy.optimize import linprog
+
+    lp = random_standard_lp(30, 50, nlp=64, seed=1)
+    eq = lp.to_equality_form()
+    opts = SolverOptions(tol=1e-7, dtype="float32", finish_dtype="float64")
+    out = hsd_solve_batched(
+        np.asarray(eq.A), np.asarray(eq.b), np.asarray(eq.c), opts
     )
-
-    # objective-accuracy spot check vs scipy (the 1e-6 relative-gap contract)
-    try:
-        from scipy.optimize import linprog
-
-        rels = []
-        for i in np.linspace(0, TOTAL - 1, 8, dtype=int):
-            res = linprog(
-                -np.asarray(lp.c)[i].astype(np.float64),
-                A_ub=np.asarray(lp.A, np.float64),
-                b_ub=np.asarray(lp.b)[i].astype(np.float64),
-                bounds=[(0, None)] * N,
-                method="highs",
-            )
-            if res.status == 0:
-                # equality-form objective is the negated Vanderbei-form one
-                std_obj = -float(objective[i])
-                rels.append(abs(std_obj - (-res.fun)) / max(1.0, abs(res.fun)))
-        log(f"objective rel-err vs scipy (8 lanes): max {max(rels):.2e} mean {np.mean(rels):.2e}")
-    except Exception as e:  # pragma: no cover
-        log(f"accuracy check skipped: {e}")
-
-    lps = TOTAL / best
-    print(
-        json.dumps(
-            {
-                "metric": "LPs solved/sec/chip (batched 64x64 dense)",
-                "value": round(lps, 1),
-                "unit": "LP/s",
-                "vs_baseline": round(lps / BASELINE_LPS_PER_SEC, 4),
-            }
+    rels = []
+    for i in range(64):
+        res = linprog(
+            -np.asarray(lp.c)[i], A_ub=np.asarray(lp.A), b_ub=np.asarray(lp.b)[i],
+            bounds=[(0, None)] * 50, method="highs",
         )
-    )
+        rels.append(abs(-float(out["objective"][i]) + res.fun) / max(1, abs(res.fun)))
+    log(f"correctness: max rel {max(rels):.2e}")
+    emit("max objective rel-err vs scipy (mixed precision)", max(rels), "rel", max(rels) / 1e-6)
+
+
+def main():
+    modes = {
+        "throughput": run_throughput,
+        "batch32": run_batch32,
+        "netlib": run_netlib,
+        "weak": run_weak,
+        "sweep": run_sweep,
+        "correctness": run_correctness,
+    }
+    modes[MODE]()
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ from pycllp_tpu.ops.reference import (
     REFERENCE_KERNELS,
 )
 
-__all__ = ["BatchLastKernels", "BATCHLAST_KERNELS"]
+__all__ = ["BatchLastKernels", "BATCHLAST_KERNELS", "BATCHLAST_FUSED_KERNELS"]
 
 LANES = 128
 
@@ -56,26 +56,24 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _factor_kernel(w_ref, dt_ref, reg_ref, l_ref, *, m: int):
-    """M = W @ dᵀ (MXU), then in-place batch-lane Cholesky of M + δI.
+def _chol_body(l_ref, dinv_ref, reg, m: int):
+    """In-place batch-lane Cholesky of the VMEM block in ``l_ref``.
 
-    w_ref: (m², n); dt_ref: (n, LANES); reg_ref: (1, LANES);
-    l_ref: (m, m, LANES) output (lower triangle valid).
+    Right-looking; every scalar step of the textbook algorithm is one
+    VPU vector op across the instance lanes.  δ (``reg``, per-lane) is
+    added at each diagonal's single read — algebraically identical to
+    factoring M + δI.  Non-PSD lanes turn NaN and are caught by the
+    solver's numerical guard.
     """
-    lanes = dt_ref.shape[-1]
-    mflat = jnp.dot(
-        w_ref[:], dt_ref[:], preferred_element_type=l_ref.dtype
-    )  # (m², LANES)
-    l_ref[:] = mflat.reshape(m, m, lanes)
-    reg = reg_ref[0, :]  # (LANES,)
+    nan = jnp.asarray(jnp.nan, l_ref.dtype)
     for k in range(m):
         akk = l_ref[k, k, :] + reg
         pos = akk > 0
         sq = jnp.sqrt(jnp.where(pos, akk, 1.0))
-        nan = jnp.asarray(jnp.nan, l_ref.dtype)
+        inv = jnp.where(pos, 1.0 / sq, nan)
         l_ref[k, k, :] = jnp.where(pos, sq, nan)
+        dinv_ref[k, :] = inv
         if k + 1 < m:
-            inv = jnp.where(pos, 1.0 / sq, nan)
             col = l_ref[k + 1 :, k, :] * inv[None, :]
             l_ref[k + 1 :, k, :] = col
             l_ref[k + 1 :, k + 1 :, :] = (
@@ -83,25 +81,45 @@ def _factor_kernel(w_ref, dt_ref, reg_ref, l_ref, *, m: int):
             )
 
 
-def _solve_kernel(l_ref, r_ref, v_ref, *, m: int, k_rhs: int):
+def _fused_factor_kernel(w_ref, dt_ref, reg_ref, l_ref, dinv_ref, *, m: int):
+    """M = W @ dᵀ on the MXU (never touching HBM), then factor in VMEM."""
+    lanes = dt_ref.shape[-1]
+    mflat = jnp.dot(w_ref[:], dt_ref[:], preferred_element_type=l_ref.dtype)
+    l_ref[:] = mflat.reshape(m, m, lanes)
+    _chol_body(l_ref, dinv_ref, reg_ref[0, :], m)
+
+
+def _chol_kernel(m_ref, reg_ref, l_ref, dinv_ref, *, m: int):
+    """Factor an XLA-formed M block (M = (W @ dᵀ).reshape is ~1ms in XLA)."""
+    l_ref[:] = m_ref[:]
+    _chol_body(l_ref, dinv_ref, reg_ref[0, :], m)
+
+
+def _solve_kernel(l_ref, dinv_ref, r_ref, v_ref, *, m: int, k_rhs: int):
     """Solve L Lᵀ v = r for k_rhs stacked RHS, batch-lane vectorised.
 
-    l_ref: (m, m, LANES); r_ref/v_ref: (k_rhs, m, LANES).
+    ROW-access only: column slices of a (m, m, LANES) block gather
+    across sublane tiles and are ~20x slower (measured on v5e), so the
+    forward pass is left-looking (dot with row L[i, :i]) and the
+    backward pass right-looking (update with row L[i, :i] of Lᵀ's
+    column) — both touch L by rows.  Divisions use the reciprocal
+    diagonal saved by the factor kernel.
+
+    l_ref: (m, m, LANES); dinv_ref: (m, LANES);
+    r_ref/v_ref: (k_rhs, m, LANES).
     """
     v_ref[:] = r_ref[:]
-    # forward substitution L w = r (right-looking)
+    # forward, left-looking: w[i] = (r[i] − L[i,:i]·w[:i]) · dinv[i]
     for i in range(m):
-        di = l_ref[i, i, :]
-        wi = v_ref[:, i, :] / di[None, :]
-        v_ref[:, i, :] = wi
-        if i + 1 < m:
-            v_ref[:, i + 1 :, :] = (
-                v_ref[:, i + 1 :, :] - l_ref[i + 1 :, i, :][None, :, :] * wi[:, None, :]
-            )
-    # backward substitution Lᵀ v = w
+        di = dinv_ref[i, :]
+        if i > 0:
+            acc = jnp.sum(l_ref[i, :i, :][None, :, :] * v_ref[:, :i, :], axis=1)
+            v_ref[:, i, :] = (v_ref[:, i, :] - acc) * di[None, :]
+        else:
+            v_ref[:, i, :] = v_ref[:, i, :] * di[None, :]
+    # backward, right-looking: v[i] = w[i]·dinv[i]; w[:i] −= L[i,:i]·v[i]
     for i in reversed(range(m)):
-        di = l_ref[i, i, :]
-        vi = v_ref[:, i, :] / di[None, :]
+        vi = v_ref[:, i, :] * dinv_ref[i, :][None, :]
         v_ref[:, i, :] = vi
         if i > 0:
             v_ref[:, :i, :] = (
@@ -114,22 +132,37 @@ def _solve_kernel(l_ref, r_ref, v_ref, *, m: int, k_rhs: int):
 # ---------------------------------------------------------------------------
 
 
+def _lp_specs(m, k_rhs=None):
+    l_spec = pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    dinv_spec = pl.BlockSpec((m, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    reg_spec = pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    rhs_spec = None
+    if k_rhs is not None:
+        rhs_spec = pl.BlockSpec(
+            (k_rhs, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+    return l_spec, dinv_spec, reg_spec, rhs_spec
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
-def _factor_bl(W, dT, reg, *, m: int):
-    """(m², n), (n, B), (B,) → L (m, m, B)."""
+def _fused_factor_bl(W, dT, reg, *, m: int):
+    """(m², n), (n, B), (B,) → (L, dinv): matmul fused into the kernel."""
     n, B = dT.shape
     dtype = dT.dtype
-    grid = (B // LANES,)
+    l_spec, dinv_spec, reg_spec, _ = _lp_specs(m)
     return pl.pallas_call(
-        functools.partial(_factor_kernel, m=m),
-        grid=grid,
+        functools.partial(_fused_factor_kernel, m=m),
+        grid=(B // LANES,),
         in_specs=[
             pl.BlockSpec((m * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            reg_spec,
         ],
-        out_specs=pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, m, B), dtype),
+        out_specs=[l_spec, dinv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m, B), dtype),
+            jax.ShapeDtypeStruct((m, B), dtype),
+        ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * m * n * B + (m**3) * B // 3,
@@ -139,22 +172,41 @@ def _factor_bl(W, dT, reg, *, m: int):
     )(W, dT, reg[None, :])
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _chol_bl(M, reg, *, m: int):
+    """M (m, m, B) → (L, dinv); M formed by XLA (W @ dᵀ reshape ~free)."""
+    B = M.shape[-1]
+    dtype = M.dtype
+    l_spec, dinv_spec, reg_spec, _ = _lp_specs(m)
+    return pl.pallas_call(
+        functools.partial(_chol_kernel, m=m),
+        grid=(B // LANES,),
+        in_specs=[l_spec, reg_spec],
+        out_specs=[l_spec, dinv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m, B), dtype),
+            jax.ShapeDtypeStruct((m, B), dtype),
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=(m**3) * B // 3,
+            bytes_accessed=2 * m * m * B * dtype.itemsize,
+            transcendentals=m * B,
+        ),
+    )(M, reg[None, :])
+
+
 @functools.partial(jax.jit, static_argnames=("m", "k_rhs"))
-def _solve_bl(L, R, *, m: int, k_rhs: int):
-    """L (m, m, B), R (k, m, B) → V (k, m, B)."""
+def _solve_bl(L, DINV, R, *, m: int, k_rhs: int):
+    """L (m, m, B), dinv (m, B), R (k, m, B) → V (k, m, B)."""
     B = L.shape[-1]
     dtype = L.dtype
-    grid = (B // LANES,)
+    l_spec, dinv_spec, _, rhs_spec = _lp_specs(m, k_rhs)
     return pl.pallas_call(
         functools.partial(_solve_kernel, m=m, k_rhs=k_rhs),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_rhs, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (k_rhs, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        ),
+        grid=(B // LANES,),
+        in_specs=[l_spec, dinv_spec, rhs_spec],
+        out_specs=rhs_spec,
         out_shape=jax.ShapeDtypeStruct((k_rhs, m, B), dtype),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -162,7 +214,7 @@ def _solve_bl(L, R, *, m: int, k_rhs: int):
             bytes_accessed=(m * m * B + 2 * k_rhs * m * B) * dtype.itemsize,
             transcendentals=0,
         ),
-    )(L, R)
+    )(L, DINV, R)
 
 
 def _pad_lanes(arr, B):
@@ -188,10 +240,11 @@ class PreparedBL(typing.NamedTuple):
 
 
 class BLFactor(typing.NamedTuple):
-    """Batch-last factorization: L is (m, m, Bp) lane-padded."""
+    """Batch-last factorization: L, dinv are lane-padded (m, m, Bp)/(m, Bp)."""
 
     ctx: typing.Any
     L: typing.Any
+    dinv_diag: typing.Any  # reciprocal diagonal of L, (m, Bp)
     d: typing.Any
     reg: typing.Any
 
@@ -202,9 +255,18 @@ class BatchLastKernels(KernelSet):
     Falls back to the XLA reference implementation for per-instance
     (3-D) A and for f64 (Mosaic has no f64 path; the mixed-precision
     finish phase uses XLA's emulated f64 on TPU).
+
+    ``fuse_form=True`` computes M = W @ dᵀ on the MXU inside the factor
+    kernel (M never touches HBM); the default forms M with an XLA
+    matmul and feeds the Cholesky-only kernel.
     """
 
     name = "pallas_batchlast"
+
+    def __init__(self, fuse_form: bool = False):
+        self.fuse_form = fuse_form
+        if fuse_form:
+            self.name = "pallas_batchlast_fused"
 
     def prepare(self, A):
         if A.ndim != 2:
@@ -227,10 +289,14 @@ class BatchLastKernels(KernelSet):
         B = d.shape[0]
         diag = jnp.einsum("mn,bn->bm", ctx.Asq, d)
         reg = (reg_eps * jnp.max(diag, axis=-1)).astype(d.dtype)
-        dT, _ = _pad_lanes(d.T, B)
+        dT, Bp = _pad_lanes(d.T, B)
         regp, _ = _pad_lanes(reg, B)
-        L = _factor_bl(ctx.W, dT, regp, m=m)
-        return BLFactor(ctx=ctx, L=L, d=d, reg=reg)
+        if self.fuse_form:
+            L, dinv = _fused_factor_bl(ctx.W, dT, regp, m=m)
+        else:
+            M = (ctx.W @ dT).reshape(m, m, Bp)
+            L, dinv = _chol_bl(M, regp, m=m)
+        return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
 
     def solve(self, fac, rs):
         if not isinstance(fac, BLFactor):
@@ -239,8 +305,9 @@ class BatchLastKernels(KernelSet):
         B = rs[0].shape[0]
         R = jnp.stack([r.T for r in rs], axis=0)  # (k, m, B)
         Rp, _ = _pad_lanes(R, B)
-        V = _solve_bl(fac.L, Rp, m=m, k_rhs=len(rs))
+        V = _solve_bl(fac.L, fac.dinv_diag, Rp, m=m, k_rhs=len(rs))
         return tuple(V[i, :, :B].T for i in range(len(rs)))
 
 
 BATCHLAST_KERNELS = BatchLastKernels()
+BATCHLAST_FUSED_KERNELS = BatchLastKernels(fuse_form=True)

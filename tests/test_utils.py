@@ -70,3 +70,35 @@ class TestFlopModel:
 
     def test_achieved(self):
         assert achieved_tflops(2e12, 2.0) == 1.0
+
+
+class TestCheckedSolve:
+    def test_clean_solve_no_report(self):
+        from pycllp_tpu.utils.debug import checked_solve
+
+        A, b, c = random_equality_lp(6, 15, seed=2)
+        out, report = checked_solve(A, b[None], c[None], SolverOptions(tol=1e-8))
+        assert report == []
+        assert int(out["status"][0]) == 0
+
+    def test_diagnosis_shape(self):
+        """Force a NUMERICAL lane via a pathologically scaled instance
+        in f32 with zero regularization."""
+        import numpy as np
+        from pycllp_tpu.utils.debug import checked_solve
+        from pycllp_tpu import Status
+
+        A, b, c = random_equality_lp(8, 20, seed=3)
+        A = A * np.logspace(-6, 6, 20)[None, :]  # wreck the column scaling
+        opts = SolverOptions(
+            tol=1e-10, dtype="float32", scale=False, reg_eps=1e-30,
+            stall_patience=1000, maxiter=60,
+        )
+        out, report = checked_solve(
+            A.astype(np.float32), b[None].astype(np.float32), c[None].astype(np.float32), opts
+        )
+        if int(out["status"][0]) == int(Status.NUMERICAL):
+            assert len(report) == 1
+            r = report[0]
+            assert {"lane", "f64_status", "first_bad_f32_iteration", "hint"} <= set(r)
+        # if f32 survives this instance, the test still passed its purpose
