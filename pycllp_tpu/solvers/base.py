@@ -81,6 +81,8 @@ class BaseSolver:
     def init(self, lp: StandardLP | GeneralLP) -> None:
         if isinstance(lp, GeneralLP):
             lp, self._general_map = lp.to_standard_form()
+        else:
+            self._general_map = None
         self._std = lp
         self._eq = lp.to_equality_form()
         self._init_impl(self._eq)
@@ -113,6 +115,22 @@ class BaseSolver:
             rho_d=None if sol.rho_d is None else (sol.rho_d[0] if squeeze else sol.rho_d),
             rho_gap=None if sol.rho_gap is None else (sol.rho_gap[0] if squeeze else sol.rho_gap),
         )
+        if self._general_map is not None:
+            # map the standard-form solution back to the user's general
+            # form: variables un-shift/un-split, objective re-signed,
+            # row duals folded over the ± split rows.
+            fm = self._general_map
+            out = Solution(
+                x=fm.recover_x(out.x),
+                y=fm.recover_duals(out.y),
+                z=out.z,
+                objective=fm.recover_objective(out.objective),
+                status=out.status,
+                iterations=out.iterations,
+                rho_p=out.rho_p,
+                rho_d=out.rho_d,
+                rho_gap=out.rho_gap,
+            )
         return out
 
     # -- backend hooks ----------------------------------------------------

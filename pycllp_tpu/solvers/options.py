@@ -88,8 +88,8 @@ class SolverOptions:
     alpha0: float = 0.99995
     mehrotra: bool = True
     gamma: float = 0.1
-    reg_eps: float = 0.0  # 0.0 → dtype-dependent default
-    refine_steps: int = 0  # 0 → dtype-dependent default
+    reg_eps: float | None = None  # None → dtype-dependent default
+    refine_steps: int | None = None  # None → dtype-dependent default
     scale: bool = True
     dtype: str | None = None
     kkt_refine: int = 0
@@ -104,12 +104,12 @@ class SolverOptions:
         return dataclasses.replace(self, **kw)
 
     def resolved_reg_eps(self, dtype) -> float:
-        if self.reg_eps:
+        if self.reg_eps is not None:
             return self.reg_eps
         return 2e-6 if np.dtype(dtype) == np.float32 else 1e-12
 
     def resolved_refine_steps(self, dtype) -> int:
-        if self.refine_steps:
+        if self.refine_steps is not None:
             return self.refine_steps
         return 1 if np.dtype(dtype) == np.float32 else 0
 

@@ -208,3 +208,38 @@ class TestRegistrySolvers:
         names = list(objs)
         for a in names[1:]:
             np.testing.assert_allclose(objs[a], objs[names[0]], rtol=1e-6, atol=1e-6)
+
+
+class TestGeneralLPSolve:
+    """Solving a GeneralLP end-to-end through the registry must return
+    the solution in GENERAL coordinates (recovery map applied)."""
+
+    def test_general_roundtrip(self):
+        from pycllp_tpu import GeneralLP
+
+        # min x+y s.t. x+2y >= 2, 3x+y >= 3 → x=(0.8, 0.6), obj 1.4
+        glp = GeneralLP(A=[[1, 2], [3, 1]], row_lb=[2, 3], c=[1, 1], sense="min")
+        s = get_solver("hsd", tol=1e-9)
+        s.init(glp)
+        sol = s.solve()
+        np.testing.assert_allclose(np.asarray(sol.x), [0.8, 0.6], atol=1e-6)
+        np.testing.assert_allclose(float(sol.objective), 1.4, atol=1e-7)
+
+    def test_general_with_bounds_and_sense(self):
+        from pycllp_tpu import GeneralLP
+
+        glp = GeneralLP(
+            A=[[1, 1, 1], [2, 1, 0]],
+            row_ub=[10, 8],
+            c=[3, 2, 1],
+            ub=[4, 4, 4],
+            sense="max",
+        )
+        s = get_solver("hsd", tol=1e-9)
+        s.init(glp)
+        sol = s.solve()
+        np.testing.assert_allclose(float(sol.objective), 18.0, atol=1e-6)
+        x = np.asarray(sol.x)
+        assert np.all(x <= 4 + 1e-7)
+        # duals in general-row coordinates
+        assert np.asarray(sol.y).shape == (2,)
