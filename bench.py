@@ -205,7 +205,6 @@ def run_weak():
         it_per_s = iters.sum() / dt
         results[nd] = it_per_s
         log(f"weak scaling {nd} dev: {B} lanes, {iters.sum()} lane-iters in {dt:.3f}s -> {it_per_s:.0f} it/s")
-    base = results[sizes[0]] * max(results)
     eff = results[sizes[-1]] / (results[sizes[0]] * sizes[-1] / sizes[0])
     emit("weak-scaling efficiency (iterations/s)", 100 * eff, "%", eff / 0.90)
 

@@ -95,6 +95,45 @@ def _chol_kernel(m_ref, reg_ref, l_ref, dinv_ref, *, m: int):
     _chol_body(l_ref, dinv_ref, reg_ref[0, :], m)
 
 
+def _facsol_kernel(m_ref, reg_ref, r_ref, l_ref, dinv_ref, v_ref, *, m: int, k_rhs: int):
+    """Fused factor + k_rhs solves in one kernel launch.
+
+    The forward substitution interleaves into the factorization's column
+    sweep: when column k is computed it is still in registers, so the
+    RHS update costs no extra memory traffic; only the backward pass
+    (row-access) remains after the factor loop.  ``m_ref`` is aliased to
+    ``l_ref`` (input_output_aliases) so the block fits VMEM with
+    double-buffering.
+    """
+    l_ref[:] = m_ref[:]
+    v_ref[:] = r_ref[:]
+    reg = reg_ref[0, :]
+    nan = jnp.asarray(jnp.nan, l_ref.dtype)
+    for k in range(m):
+        akk = l_ref[k, k, :] + reg
+        pos = akk > 0
+        sq = jnp.sqrt(jnp.where(pos, akk, 1.0))
+        inv = jnp.where(pos, 1.0 / sq, nan)
+        l_ref[k, k, :] = jnp.where(pos, sq, nan)
+        dinv_ref[k, :] = inv
+        wk = v_ref[:, k, :] * inv[None, :]
+        v_ref[:, k, :] = wk
+        if k + 1 < m:
+            col = l_ref[k + 1 :, k, :] * inv[None, :]
+            l_ref[k + 1 :, k, :] = col
+            l_ref[k + 1 :, k + 1 :, :] = (
+                l_ref[k + 1 :, k + 1 :, :] - col[:, None, :] * col[None, :, :]
+            )
+            v_ref[:, k + 1 :, :] = v_ref[:, k + 1 :, :] - col[None, :, :] * wk[:, None, :]
+    for i in reversed(range(m)):
+        vi = v_ref[:, i, :] * dinv_ref[i, :][None, :]
+        v_ref[:, i, :] = vi
+        if i > 0:
+            v_ref[:, :i, :] = (
+                v_ref[:, :i, :] - l_ref[i, :i, :][None, :, :] * vi[:, None, :]
+            )
+
+
 def _solve_kernel(l_ref, dinv_ref, r_ref, v_ref, *, m: int, k_rhs: int):
     """Solve L Lᵀ v = r for k_rhs stacked RHS, batch-lane vectorised.
 
@@ -194,6 +233,32 @@ def _chol_bl(M, reg, *, m: int):
             transcendentals=m * B,
         ),
     )(M, reg[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k_rhs"))
+def _facsol_bl(M, reg, R, *, m: int, k_rhs: int):
+    """M (m,m,B), reg (B,), R (k,m,B) → (L, dinv, V) in ONE launch."""
+    B = M.shape[-1]
+    dtype = M.dtype
+    l_spec, dinv_spec, reg_spec, rhs_spec = _lp_specs(m, k_rhs)
+    return pl.pallas_call(
+        functools.partial(_facsol_kernel, m=m, k_rhs=k_rhs),
+        grid=(B // LANES,),
+        in_specs=[l_spec, reg_spec, rhs_spec],
+        out_specs=[l_spec, dinv_spec, rhs_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m, B), dtype),
+            jax.ShapeDtypeStruct((m, B), dtype),
+            jax.ShapeDtypeStruct((k_rhs, m, B), dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=(m**3) * B // 3 + 2 * k_rhs * m * m * B,
+            bytes_accessed=(2 * m * m * B + 2 * k_rhs * m * B) * dtype.itemsize,
+            transcendentals=m * B,
+        ),
+    )(M, reg[None, :], R)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k_rhs"))
@@ -297,6 +362,24 @@ class BatchLastKernels(KernelSet):
             M = (ctx.W @ dT).reshape(m, m, Bp)
             L, dinv = _chol_bl(M, regp, m=m)
         return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
+
+    def factor_and_solve(self, ctx, d, reg_eps, rs):
+        """Fused path: factorization + first solve batch in one launch."""
+        if not isinstance(ctx, PreparedBL) or d.dtype == jnp.float64:
+            fac = self.factor(ctx, d, reg_eps)
+            return fac, self.solve(fac, rs)
+        m = ctx.A.shape[0]
+        B = d.shape[0]
+        diag = jnp.einsum("mn,bn->bm", ctx.Asq, d)
+        reg = (reg_eps * jnp.max(diag, axis=-1)).astype(d.dtype)
+        dT, Bp = _pad_lanes(d.T, B)
+        regp, _ = _pad_lanes(reg, B)
+        M = (ctx.W @ dT).reshape(m, m, Bp)
+        R = jnp.stack([r.T for r in rs], axis=0)
+        Rp, _ = _pad_lanes(R, B)
+        L, dinv, V = _facsol_bl(M, regp, Rp, m=m, k_rhs=len(rs))
+        fac = BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
+        return fac, tuple(V[i, :, :B].T for i in range(len(rs)))
 
     def solve(self, fac, rs):
         if not isinstance(fac, BLFactor):

@@ -68,6 +68,12 @@ class KernelSet:
     def solve(self, fac: NormalFactor, rs: tuple) -> tuple:
         raise NotImplementedError
 
+    def factor_and_solve(self, ctx: PreparedA, d, reg_eps: float, rs: tuple):
+        """Factorize and solve the first RHS batch; implementations may
+        fuse the two (one kernel launch, factor kept in VMEM)."""
+        fac = self.factor(ctx, d, reg_eps)
+        return fac, self.solve(fac, rs)
+
     def matvec_M(self, fac: NormalFactor, v):
         ctx = fac.ctx
         return self.mv(ctx, fac.d * self.rmv(ctx, v)) + fac.reg[..., None] * v

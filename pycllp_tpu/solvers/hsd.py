@@ -159,10 +159,8 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
 
     def step(x, y, z, tau, kappa, rp, rd, rg, mu):
         dinv = x / z  # "D" = X Z⁻¹
-        fac = kset.factor(ctx, dinv, reg_eps)
 
-        def msolve(rs):
-            vs = kset.solve(fac, rs)
+        def refine_vs(fac, rs, vs):
             for _ in range(refine):
                 es = tuple(r - kset.matvec_M(fac, v) for r, v in zip(rs, vs))
                 cs = kset.solve(fac, es)
@@ -173,21 +171,28 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
             """Recover u = D(Aᵀv − r1) for a solved v."""
             return dinv * (kset.rmv(ctx, v) - r1)
 
-        # ---- stage 1: τ-column (p, q) + predictor, one joint solve ----
+        # ---- stage 1: τ-column (p, q) + predictor RHS built BEFORE the
+        # factorization so both ride the fused factor+solve launch ----
         t_pq = b + kset.mv(ctx, dinv * c)
         # predictor RHS (γ=0, η=1, no aff products):
         #   rhs_d − rhs_xs/x = rd − (−xz)/x = rd + z
         r1_pred = rd + z
         t_pred = rp + kset.mv(ctx, dinv * r1_pred)
         if opts.mehrotra:
-            q, v_pred = msolve((t_pq, t_pred))
+            fac, vs = kset.factor_and_solve(ctx, dinv, reg_eps, (t_pq, t_pred))
+            q, v_pred = refine_vs(fac, (t_pq, t_pred), vs)
         else:
             gamma0 = jnp.full_like(tau, opts.gamma)
             eta0 = 1.0 - gamma0
             rxs0 = (gamma0 * mu)[..., None] - x * z
             r1_c = eta0[..., None] * rd - rxs0 / x
             t_c = eta0[..., None] * rp + kset.mv(ctx, dinv * r1_c)
-            q, v_c = msolve((t_pq, t_c))
+            fac, vs = kset.factor_and_solve(ctx, dinv, reg_eps, (t_pq, t_c))
+            q, v_c = refine_vs(fac, (t_pq, t_c), vs)
+
+        def msolve(rs):
+            return refine_vs(fac, rs, kset.solve(fac, rs))
+
         p = sym_parts(c, q)
         # denominator of the dτ formula: κ/τ + (bᵀq − cᵀp)
         denom = kappa / tau + jnp.sum(b * q, axis=-1) - jnp.sum(c * p, axis=-1)
@@ -251,6 +256,42 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
             d = solve_newton(rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk)
             d = kkt_correct(d, rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk)
             dx, dy, dz, dtau, dkappa = d
+
+            # Gondzio multiple centrality correctors: push outlier
+            # complementarity products toward [βmin, βmax]·γμ with extra
+            # solves through the SAME factorization; per-lane accept only
+            # when the step length improves.  Iteration-count reducer —
+            # the right trade when per-iteration fixed costs dominate.
+            for _ in range(opts.gondzio_correctors):
+                alpha_c = jnp.minimum(
+                    1.0, opts.alpha0 * _max_step(x, dx, z, dz, tau, dtau, kappa, dkappa)
+                )
+                a_hat = jnp.minimum(1.0, 1.5 * alpha_c + 0.1)
+                ah = a_hat[..., None]
+                v_t = (x + ah * dx) * (z + ah * dz)
+                vtk = (tau + a_hat * dtau) * (kappa + a_hat * dkappa)
+                mu_g = gamma * mu
+                lo = (0.1 * mu_g)[..., None]
+                hi = (10.0 * mu_g)[..., None]
+                # correction only for products outside the box
+                t_xs = jnp.clip(v_t, lo, hi) - v_t
+                t_tk = jnp.clip(vtk, 0.1 * mu_g, 10.0 * mu_g) - vtk
+                zero = jnp.zeros_like(rg)
+                dc = solve_newton(
+                    jnp.zeros_like(rp), jnp.zeros_like(rd), zero, t_xs, t_tk
+                )
+                cand = tuple(a + b_ for a, b_ in zip(d, dc))
+                alpha_new = jnp.minimum(
+                    1.0,
+                    opts.alpha0 * _max_step(x, cand[0], z, cand[2], tau, cand[3], kappa, cand[4]),
+                )
+                accept = alpha_new > alpha_c + 1e-4
+                an_ = accept[..., None]
+                d = tuple(
+                    jnp.where(an_ if dv.ndim == 2 else accept, cv, dv)
+                    for dv, cv in zip(d, cand)
+                )
+                dx, dy, dz, dtau, dkappa = d
         else:
             rhs_g0 = eta0 * rg
             rtk0 = gamma0 * mu - tau * kappa

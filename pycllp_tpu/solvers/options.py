@@ -93,6 +93,8 @@ class SolverOptions:
     scale: bool = True
     dtype: str | None = None
     kkt_refine: int = 0
+    gondzio_correctors: int = 0  # extra centrality-corrector solves per
+    # iteration (Gondzio); reduces iteration count for ~1 solve each
     stall_patience: int = 12
     finish_dtype: str | None = None
     finish_maxiter: int = 20

@@ -243,3 +243,25 @@ class TestGeneralLPSolve:
         assert np.all(x <= 4 + 1e-7)
         # duals in general-row coordinates
         assert np.asarray(sol.y).shape == (2,)
+
+
+class TestGondzioCorrectors:
+    def test_correctors_preserve_correctness(self):
+        m, n = 20, 45
+        A, b, c = random_equality_lp(m, n, seed=13)
+        ref_obj, _ = scipy_objective(A, b, c)
+        plain = hsd_solve(A, b, c, SolverOptions(tol=1e-8))
+        gz = hsd_solve(A, b, c, SolverOptions(tol=1e-8, gondzio_correctors=2))
+        assert int(gz["status"]) == int(Status.OPTIMAL)
+        np.testing.assert_allclose(float(gz["objective"]), ref_obj, rtol=1e-6, atol=1e-6)
+        # correctors must not blow up the iteration count
+        assert int(gz["iterations"]) <= int(plain["iterations"]) + 1
+
+    def test_correctors_batch(self):
+        m, n, B = 10, 25, 8
+        A, _, _ = random_equality_lp(m, n, seed=14)
+        rng = np.random.default_rng(15)
+        b = rng.uniform(0.1, 1.0, size=(B, n)) @ A.T
+        c = rng.normal(size=(B, m)) @ A + rng.uniform(0.1, 1.0, size=(B, n))
+        out = hsd_solve_batched(A, b, c, SolverOptions(tol=1e-8, gondzio_correctors=3))
+        assert np.all(np.asarray(out["status"]) == int(Status.OPTIMAL))
