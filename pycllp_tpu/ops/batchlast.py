@@ -328,10 +328,11 @@ class BatchLastKernels(KernelSet):
 
     name = "pallas_batchlast"
 
-    def __init__(self, fuse_form: bool = False):
+    def __init__(self, fuse_form: bool = False, fuse_facsol: bool = False):
         self.fuse_form = fuse_form
-        if fuse_form:
-            self.name = "pallas_batchlast_fused"
+        self.fuse_facsol = fuse_facsol
+        if fuse_form or fuse_facsol:
+            self.name = f"pallas_batchlast{'_form' if fuse_form else ''}{'_facsol' if fuse_facsol else ''}"
 
     def prepare(self, A):
         if A.ndim != 2:
@@ -364,8 +365,17 @@ class BatchLastKernels(KernelSet):
         return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
 
     def factor_and_solve(self, ctx, d, reg_eps, rs):
-        """Fused path: factorization + first solve batch in one launch."""
-        if not isinstance(ctx, PreparedBL) or d.dtype == jnp.float64:
+        """Fused path: factorization + first solve batch in one launch.
+
+        Opt-in (``fuse_facsol=True``): measured slower than the split
+        kernels on the v5e remote setup despite fewer launches — the
+        aliased double-buffering serialises the pipeline.
+        """
+        if (
+            not self.fuse_facsol
+            or not isinstance(ctx, PreparedBL)
+            or d.dtype == jnp.float64
+        ):
             fac = self.factor(ctx, d, reg_eps)
             return fac, self.solve(fac, rs)
         m = ctx.A.shape[0]

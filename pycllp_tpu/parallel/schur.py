@@ -35,7 +35,7 @@ from pycllp_tpu.solvers.options import SolverOptions, Status
 
 __all__ = ["column_sharded_hsd_solve", "model_mesh"]
 
-_RUNNING = jnp.int32(int(Status.RUNNING))
+_RUNNING = np.int32(int(Status.RUNNING))  # numpy scalar: no device init at import
 
 
 def model_mesh(n_devices: int | None = None, axis: str = "model") -> Mesh:

@@ -31,7 +31,7 @@ from pycllp_tpu.utils.scaling import ruiz_equilibrate, scale_problem, unscale_so
 
 __all__ = ["dense_path_solve_batched", "DensePathSolver"]
 
-_RUNNING = jnp.int32(int(Status.RUNNING))
+_RUNNING = np.int32(int(Status.RUNNING))  # numpy scalar: no device init at import
 
 
 class PFState(NamedTuple):

@@ -40,6 +40,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -50,7 +52,7 @@ from pycllp_tpu.utils.scaling import ruiz_equilibrate, scale_problem, unscale_so
 
 __all__ = ["HSDState", "hsd_solve_batched", "hsd_solve"]
 
-_RUNNING = jnp.int32(int(Status.RUNNING))
+_RUNNING = np.int32(int(Status.RUNNING))  # numpy scalar: no device init at import
 
 
 class HSDState(NamedTuple):
@@ -465,6 +467,36 @@ def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
     return x, y, z, tau, kappa, status, ind
 
 
+def _mehrotra_start(ctx, b, c, kset: KernelSet, reg_eps):
+    """Mehrotra's least-squares starting point, HSD-adapted.
+
+    x̂ = Aᵀ(AAᵀ)⁻¹b (min-norm primal), ŷ = (AAᵀ)⁻¹Ac, ẑ = c − Aᵀŷ,
+    then the positivity shifts from Mehrotra (1992): one extra
+    factorization (D = I) per solve, typically 2–4 fewer IPM iterations.
+    """
+    ones_d = jnp.ones_like(c)
+    fac0, (vb, vc) = kset.factor_and_solve(
+        ctx, ones_d, reg_eps, (b, kset.mv(ctx, c))
+    )
+    x_hat = kset.rmv(ctx, vb)
+    y_hat = vc
+    z_hat = c - kset.rmv(ctx, y_hat)
+    dx = jnp.maximum(-1.5 * jnp.min(x_hat, axis=-1), 0.0)[..., None]
+    dz = jnp.maximum(-1.5 * jnp.min(z_hat, axis=-1), 0.0)[..., None]
+    xs = x_hat + dx
+    zs = z_hat + dz
+    dot = jnp.sum(xs * zs, axis=-1)
+    # guard degenerate all-zero cases with a unit fallback
+    sum_z = jnp.maximum(jnp.sum(zs, axis=-1), 1e-8)
+    sum_x = jnp.maximum(jnp.sum(xs, axis=-1), 1e-8)
+    x0 = xs + (0.5 * dot / sum_z)[..., None]
+    z0 = zs + (0.5 * dot / sum_x)[..., None]
+    # keep strictly interior even for pathological data
+    x0 = jnp.maximum(x0, 1e-4)
+    z0 = jnp.maximum(z0, 1e-4)
+    return x0, y_hat, z0
+
+
 def _cast_state(s: HSDState, dtype) -> HSDState:
     def cast(v):
         return v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
@@ -527,12 +559,15 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
     b_s = b_sw.astype(dtype)
     c_s = c_sw.astype(dtype)
 
-    x0 = jnp.ones((B, n), dtype)
-    y0 = jnp.zeros((B, m), dtype)
-    z0 = jnp.ones((B, n), dtype)
+    ctx = kset.prepare(A_s)
+    if opts.init_point == "mehrotra":
+        x0, y0, z0 = _mehrotra_start(ctx, b_s, c_s, kset, opts.resolved_reg_eps(dtype))
+    else:
+        x0 = jnp.ones((B, n), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+        z0 = jnp.ones((B, n), dtype)
     tau0 = jnp.ones((B,), dtype)
     kappa0 = jnp.ones((B,), dtype)
-    ctx = kset.prepare(A_s)
     rp, rd, rg, mu = _residuals(ctx, b_s, c_s, x0, y0, z0, tau0, kappa0, kset)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     state = HSDState(

@@ -101,6 +101,9 @@ class SolverOptions:
     switch_tol: float = 1e-3
     log_every: int = 0  # emit structured per-iteration metrics every k
     # iterations (0 = off); see pycllp_tpu.utils.logging
+    init_point: str = "ones"  # "ones" (blind HSD start) or "mehrotra"
+    # (least-squares start: one extra factorization, typically saves
+    # 2-4 IPM iterations)
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

@@ -265,3 +265,27 @@ class TestGondzioCorrectors:
         c = rng.normal(size=(B, m)) @ A + rng.uniform(0.1, 1.0, size=(B, n))
         out = hsd_solve_batched(A, b, c, SolverOptions(tol=1e-8, gondzio_correctors=3))
         assert np.all(np.asarray(out["status"]) == int(Status.OPTIMAL))
+
+
+class TestMehrotraStart:
+    def test_reduces_or_matches_iterations(self):
+        m, n = 24, 60
+        A, b, c = random_equality_lp(m, n, seed=17)
+        ref_obj, _ = scipy_objective(A, b, c)
+        plain = hsd_solve(A, b, c, SolverOptions(tol=1e-8))
+        warm = hsd_solve(A, b, c, SolverOptions(tol=1e-8, init_point="mehrotra"))
+        assert int(warm["status"]) == int(Status.OPTIMAL)
+        np.testing.assert_allclose(float(warm["objective"]), ref_obj, rtol=1e-6, atol=1e-6)
+        assert int(warm["iterations"]) <= int(plain["iterations"]) + 1
+
+    def test_batch_iteration_stats(self):
+        m, n, B = 16, 40, 16
+        A, _, _ = random_equality_lp(m, n, seed=18)
+        rng = np.random.default_rng(19)
+        b = rng.uniform(0.1, 1.0, size=(B, n)) @ A.T
+        c = rng.normal(size=(B, m)) @ A + rng.uniform(0.1, 1.0, size=(B, n))
+        plain = hsd_solve_batched(A, b, c, SolverOptions(tol=1e-8))
+        warm = hsd_solve_batched(A, b, c, SolverOptions(tol=1e-8, init_point="mehrotra"))
+        assert np.all(np.asarray(warm["status"]) == int(Status.OPTIMAL))
+        assert np.asarray(warm["iterations"]).mean() <= np.asarray(plain["iterations"]).mean() + 0.5
+        print("plain", np.asarray(plain["iterations"]).mean(), "warm", np.asarray(warm["iterations"]).mean())
