@@ -138,6 +138,16 @@ def run_throughput(m=M, n=N, total=TOTAL, chunk=CHUNK, emit_json=True):
     log(f"iterations min/mean/max: {iterations.min()}/{iterations.mean():.1f}/{iterations.max()}")
     accuracy_check(lp, objective, n, total)
 
+    # achieved-vs-peak (SURVEY.md §5): FLOP model over actual iteration counts
+    from pycllp_tpu.utils.profiling import V5E_PEAK_F32_TFLOPS, achieved_tflops, solve_flops
+
+    m_eq, n_eq = m, n + m  # equality form after slack augmentation
+    tf = achieved_tflops(solve_flops(m_eq, n_eq, iterations), best)
+    log(
+        f"achieved {tf:.2f} TFLOP/s (useful-FLOP model) = "
+        f"{100 * tf / V5E_PEAK_F32_TFLOPS:.1f}% of v5e f32 peak"
+    )
+
     lps = total / best
     if emit_json:
         emit("LPs solved/sec/chip (batched 64x64 dense)", lps, "LP/s", lps / BASELINE_LPS_PER_SEC)
