@@ -348,9 +348,22 @@ class BatchLastKernels(KernelSet):
         return jnp.einsum("...mn,...m->...n", ctx.A, y)
 
     def factor(self, ctx, d, reg_eps):
-        if not isinstance(ctx, PreparedBL) or d.dtype == jnp.float64:
+        if d.dtype == jnp.float64:
             base = ctx if isinstance(ctx, PreparedA) else PreparedA(ctx.A, ctx.Asq)
             return REFERENCE_KERNELS.factor(base, d, reg_eps)
+        if not isinstance(ctx, PreparedBL):
+            # batched (per-instance) A: no shared-W trick, but the lane-
+            # vectorised Cholesky still beats XLA's batched cholesky by
+            # ~60x — form M per instance in XLA, transpose to batch-last.
+            m = ctx.A.shape[-2]
+            B = d.shape[0]
+            diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
+            reg = (reg_eps * jnp.max(diag, axis=-1)).astype(d.dtype)
+            M = jnp.einsum("...mn,...n,...kn->...mk", ctx.A, d, ctx.A)
+            M_bl, _ = _pad_lanes(jnp.moveaxis(M, 0, -1), B)
+            regp, _ = _pad_lanes(reg, B)
+            L, dinv = _chol_bl(M_bl, regp, m=m)
+            return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
         m = ctx.A.shape[0]
         B = d.shape[0]
         diag = jnp.einsum("mn,bn->bm", ctx.Asq, d)

@@ -141,3 +141,42 @@ class TestSolverWithPallasKernels:
         res = linprog(c, A_eq=A, b_eq=b, bounds=[(0, None)] * n, method="highs")
         assert int(out["status"][0]) == int(Status.OPTIMAL)
         np.testing.assert_allclose(float(out["objective"][0]), res.fun, rtol=1e-6, atol=1e-6)
+
+
+class TestBatchedAPallas:
+    def test_batched_A_uses_pallas_f32(self):
+        """3-D A in f32 routes through the batch-last kernels (not the
+        slow XLA fallback) and matches the reference solve."""
+        from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS, BLFactor
+        from pycllp_tpu.ops.reference import REFERENCE_KERNELS
+
+        rng = np.random.default_rng(44)
+        B, m, n = 6, 10, 24
+        A3 = jnp.asarray(rng.normal(size=(B, m, n)), jnp.float32)
+        d = jnp.asarray(rng.uniform(0.5, 2.0, size=(B, n)), jnp.float32)
+        rs = (jnp.asarray(rng.normal(size=(B, m)), jnp.float32),)
+        ctx = BATCHLAST_KERNELS.prepare(A3)
+        fac = BATCHLAST_KERNELS.factor(ctx, d, 1e-7)
+        assert isinstance(fac, BLFactor)
+        v = BATCHLAST_KERNELS.solve(fac, rs)[0]
+        ctx_r = REFERENCE_KERNELS.prepare(A3)
+        fac_r = REFERENCE_KERNELS.factor(ctx_r, d, 1e-7)
+        v_r = REFERENCE_KERNELS.solve(fac_r, rs)[0]
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), rtol=2e-4, atol=2e-5)
+
+    def test_batched_A_full_solve(self):
+        from pycllp_tpu import SolverOptions, Status
+        from pycllp_tpu.io.generate import random_equality_lp
+        from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
+        from pycllp_tpu.solvers.hsd import hsd_solve_batched
+        from scipy.optimize import linprog
+
+        A, b, c = random_equality_lp(8, 20, nlp=5, seed=23, shared_A=False)
+        out = hsd_solve_batched(
+            A.astype(np.float32), b.astype(np.float32), c.astype(np.float32),
+            SolverOptions(tol=1e-5, dtype="float32"), BATCHLAST_KERNELS,
+        )
+        for i in range(5):
+            res = linprog(c[i], A_eq=A[i], b_eq=b[i], bounds=[(0, None)] * 20, method="highs")
+            rel = abs(float(out["objective"][i]) - res.fun) / max(1, abs(res.fun))
+            assert rel < 1e-3
