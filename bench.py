@@ -44,7 +44,7 @@ def log(*a):
 
 
 def get_kset():
-    name = os.environ.get("BENCH_KSET", "reference")
+    name = os.environ.get("BENCH_KSET", "pallas")
     if name == "pallas":
         from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
 
@@ -55,8 +55,16 @@ def get_kset():
 
 
 def bench_options() -> SolverOptions:
-    # practical f32 config: 1e-5 indicator tol, early stall cutoff.
-    return SolverOptions(tol=1e-5, maxiter=40, dtype="float32", stall_patience=6)
+    # practical f32 config: 1e-5 indicator tol, early stall cutoff,
+    # Mehrotra least-squares start (fewer iterations AND ~25x better
+    # objective accuracy on the bench problems: 2.7e-4 max vs 6.9e-3)
+    return SolverOptions(
+        tol=1e-5,
+        maxiter=40,
+        dtype="float32",
+        stall_patience=6,
+        init_point="mehrotra",
+    )
 
 
 def emit(metric, value, unit, vs_baseline):
