@@ -90,6 +90,13 @@ class BaseSolver:
     def solve(self, lp: StandardLP | GeneralLP | None = None) -> Solution:
         if lp is not None or self._eq is None:
             self.init(lp if lp is not None else self._std)
+        else:
+            # init-once / re-solve contract: the caller may mutate the
+            # held problem's b/c between solves (the upstream stochastic
+            # re-solve pattern), so refresh the equality-form arrays from
+            # the CURRENT StandardLP.  Structure (A sparsity/shape) is
+            # assumed unchanged — that is what ``init`` is for.
+            self._eq = self._std.to_equality_form()
         eq = self._eq
         A, b, c = np.asarray(eq.A), np.asarray(eq.b), np.asarray(eq.c)
         squeeze = b.ndim == 1

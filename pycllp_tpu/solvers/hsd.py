@@ -344,7 +344,8 @@ def _run_phase(
 
         # best-iterate bookkeeping (finite scores only)
         score = jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
-        improved = (s.status == _RUNNING) & jnp.isfinite(score) & (score < s.best_score)
+        was_running = (s.status == _RUNNING) & jnp.isfinite(score)
+        improved = was_running & (score < s.best_score)
         imn = improved[..., None]
         best_x = jnp.where(imn, s.x, s.best_x)
         best_y = jnp.where(imn, s.y, s.best_y)
@@ -352,7 +353,13 @@ def _run_phase(
         best_tau = jnp.where(improved, s.tau, s.best_tau)
         best_kappa = jnp.where(improved, s.kappa, s.best_kappa)
         best_score = jnp.where(improved, score, s.best_score)
-        best_k = jnp.where(improved, s.k, s.best_k)
+        # the stall clock only resets on MATERIAL progress (opts.stall_rtol
+        # relative drop); with the default 0.0 this equals `improved`
+        if opts.stall_rtol:
+            material = was_running & (score < s.best_score * (1.0 - opts.stall_rtol))
+        else:
+            material = improved
+        best_k = jnp.where(material, s.k, s.best_k)
 
         # stall cutoff: no best-score progress for `patience` iterations →
         # stop spending FLOPs on this lane (its best iterate is kept)

@@ -96,6 +96,12 @@ class SolverOptions:
     gondzio_correctors: int = 0  # extra centrality-corrector solves per
     # iteration (Gondzio); reduces iteration count for ~1 solve each
     stall_patience: int = 12
+    stall_rtol: float = 0.0  # minimum RELATIVE best-score improvement that
+    # counts as progress for the stall clock (0 = any improvement).  At the
+    # f32 indicator floor, scores jitter by tiny amounts; requiring e.g. a
+    # 5% drop stops those jitters from resetting the patience window, so
+    # stalled lanes freeze sooner.  Best-iterate tracking itself still
+    # accepts ANY improvement — this only affects the stall clock.
     finish_dtype: str | None = None
     finish_maxiter: int = 20
     switch_tol: float = 1e-3

@@ -194,6 +194,28 @@ class TestRegistrySolvers:
                 float(sol.objective[i]), -ref.fun, rtol=1e-6, atol=1e-6
             )
 
+    @pytest.mark.parametrize("name", ["hsd", "scipy"])
+    def test_init_once_resolve_with_mutated_b(self, name):
+        """The stochastic re-solve pattern: init once, mutate the held
+        problem's b between no-arg solve() calls — results must track the
+        CURRENT arrays, not an init-time snapshot (upstream pywr usage)."""
+        lp = random_standard_lp(8, 12, nlp=5, seed=23)
+        solver = get_solver(name, tol=1e-8)
+        solver.init(lp)
+        obj1 = np.asarray(solver.solve().objective).copy()
+        lp.b = np.asarray(lp.b) * 1.7
+        sol2 = solver.solve()
+        obj2 = np.asarray(sol2.objective)
+        assert not np.allclose(obj1, obj2), "re-solve ignored the mutated b"
+        ref = linprog(
+            -np.asarray(lp.c)[0],
+            A_ub=np.asarray(lp.A),
+            b_ub=np.asarray(lp.b)[0],
+            bounds=[(0, None)] * lp.ncols,
+            method="highs",
+        )
+        np.testing.assert_allclose(float(obj2[0]), -ref.fun, rtol=1e-6, atol=1e-6)
+
     def test_cross_backend_agreement(self):
         """All available backends agree on the same batch (the core
         upstream QA idea, SURVEY.md §4)."""

@@ -1,0 +1,99 @@
+"""Two-pass compaction tests: cap/compact/re-solve must match single-pass."""
+
+import numpy as np
+import pytest
+
+from pycllp_tpu import SolverOptions, Status
+from pycllp_tpu.io.generate import random_equality_lp
+from pycllp_tpu.solvers.hsd import hsd_solve_batched
+from pycllp_tpu.solvers.twopass import hsd_solve_two_pass
+
+
+@pytest.fixture()
+def batch_problem():
+    m, n, B = 6, 15, 48
+    A, _, _ = random_equality_lp(m, n, seed=50)
+    rng = np.random.default_rng(51)
+    b = rng.uniform(0.1, 1.0, size=(B, n)) @ A.T
+    c = rng.normal(size=(B, m)) @ A + rng.uniform(0.1, 1.0, size=(B, n))
+    return A, b, c
+
+
+class TestTwoPass:
+    def test_matches_single_pass(self, batch_problem):
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        ref = hsd_solve_batched(A, b, c, opts)
+        # cap low enough that some lanes genuinely need pass 2
+        out = hsd_solve_two_pass(A, b, c, opts, pass1_maxiter=6, min_bucket=4)
+        assert (out["status"] == int(Status.OPTIMAL)).all()
+        np.testing.assert_allclose(out["objective"], np.asarray(ref["objective"]), rtol=1e-6)
+
+    def test_remnant_lanes_get_full_budget(self, batch_problem):
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        out1 = hsd_solve_batched(A, b, c, opts.replace(maxiter=6))
+        n_unfinished = int((np.asarray(out1["status"]) == int(Status.ITERATION_LIMIT)).sum())
+        assert n_unfinished > 0, "fixture must exercise the remnant path"
+        out = hsd_solve_two_pass(A, b, c, opts, pass1_maxiter=6, min_bucket=4)
+        # remnant lanes report their from-scratch pass-2 iteration counts
+        assert (out["iterations"] > 6).any()
+
+    def test_no_remnant_short_circuits(self, batch_problem):
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        out = hsd_solve_two_pass(A, b, c, opts, pass1_maxiter=60)
+        assert (out["status"] == int(Status.OPTIMAL)).all()
+
+    def test_chunked_pass1(self, batch_problem):
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        out = hsd_solve_two_pass(A, b, c, opts, chunk=16, pass1_maxiter=6, min_bucket=4)
+        ref = hsd_solve_batched(A, b, c, opts)
+        np.testing.assert_allclose(out["objective"], np.asarray(ref["objective"]), rtol=1e-6)
+
+    def test_batched_A(self):
+        m, n, B = 5, 12, 24
+        rng = np.random.default_rng(52)
+        As, bs, cs = [], [], []
+        for i in range(B):
+            A, _, _ = random_equality_lp(m, n, seed=100 + i)
+            x0 = rng.uniform(0.1, 1.0, size=n)
+            y0 = rng.normal(size=m)
+            As.append(A)
+            bs.append(A @ x0)
+            cs.append(y0 @ A + rng.uniform(0.1, 1.0, size=n))
+        A = np.stack(As)
+        b = np.stack(bs)
+        c = np.stack(cs)
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        ref = hsd_solve_batched(A, b, c, opts)
+        out = hsd_solve_two_pass(A, b, c, opts, pass1_maxiter=6, min_bucket=4)
+        np.testing.assert_allclose(out["objective"], np.asarray(ref["objective"]), rtol=1e-6)
+
+    def test_bad_chunk_raises(self, batch_problem):
+        A, b, c = batch_problem
+        with pytest.raises(ValueError, match="multiple of chunk"):
+            hsd_solve_two_pass(A, b, c, SolverOptions(), chunk=13)
+
+
+class TestStallRtol:
+    def test_default_zero_is_noop(self, batch_problem):
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        a = hsd_solve_batched(A, b, c, opts)
+        bb = hsd_solve_batched(A, b, c, opts.replace(stall_rtol=0.0))
+        np.testing.assert_array_equal(np.asarray(a["iterations"]), np.asarray(bb["iterations"]))
+
+    def test_rtol_freezes_floor_jitter_sooner(self, batch_problem):
+        A, b, c = batch_problem
+        # unreachable tol => every lane rides the stall clock; a material-
+        # progress requirement must never take MORE iterations
+        opts = SolverOptions(tol=1e-16, maxiter=80, stall_patience=5)
+        a = hsd_solve_batched(A, b, c, opts)
+        bb = hsd_solve_batched(A, b, c, opts.replace(stall_rtol=0.10))
+        assert np.asarray(bb["iterations"]).max() <= np.asarray(a["iterations"]).max()
+        # and the answers stay equally good (best iterate is unaffected)
+        np.testing.assert_allclose(
+            np.asarray(bb["objective"]), np.asarray(a["objective"]), rtol=1e-5
+        )
