@@ -77,6 +77,41 @@ class TestTwoPass:
             hsd_solve_two_pass(A, b, c, SolverOptions(), chunk=13)
 
 
+class TestScanSolve:
+    def test_matches_batched(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        ref = hsd_solve_batched(A, b, c, opts)
+        out = hsd_solve_scan(A, b, c, opts, chunk=16)
+        assert out["objective"].shape == (b.shape[0],)
+        np.testing.assert_allclose(
+            np.asarray(out["objective"]), np.asarray(ref["objective"]), rtol=1e-9
+        )
+        np.testing.assert_array_equal(np.asarray(out["status"]), np.asarray(ref["status"]))
+
+    def test_pads_ragged_tail(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b, c = batch_problem  # B=48; chunk 20 -> pad 12, trim back to 48
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        ref = hsd_solve_batched(A, b, c, opts)
+        out = hsd_solve_scan(A, b, c, opts, chunk=20, keys=("objective", "status"))
+        assert out["objective"].shape == (48,)
+        assert "iterations" not in out
+        np.testing.assert_allclose(
+            np.asarray(out["objective"]), np.asarray(ref["objective"]), rtol=1e-9
+        )
+
+    def test_batched_A_rejected(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b, c = batch_problem
+        with pytest.raises(ValueError, match="2-D"):
+            hsd_solve_scan(np.broadcast_to(A, (48, *A.shape)), b, c, SolverOptions())
+
+
 class TestStallRtol:
     def test_default_zero_is_noop(self, batch_problem):
         A, b, c = batch_problem
