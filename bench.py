@@ -9,6 +9,7 @@ Env knobs:
   BENCH_MODE     throughput (default) | batch32 | netlib | weak | sweep | correctness
   BENCH_KSET     reference | pallas      (kernel set for the hot path)
   BENCH_TOTAL / BENCH_CHUNK / BENCH_M / BENCH_N / BENCH_REPEATS
+  BENCH_CAP / BENCH_BUCKET   fused compact-resume sweep (CAP=0 disables)
 """
 
 from __future__ import annotations
@@ -37,6 +38,11 @@ N = int(os.environ.get("BENCH_N", 64))
 TOTAL = int(os.environ.get("BENCH_TOTAL", 65536))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 16384))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+# fused cap/compact/warm-resume sweep (0 disables): chunk cost is its
+# slowest lane, so cap every chunk at CAP iterations and finish the
+# ~2% tail compacted into one BUCKET-wide warm-resumed batch
+CAP = int(os.environ.get("BENCH_CAP", 14))
+BUCKET = int(os.environ.get("BENCH_BUCKET", 2048))
 
 
 def log(*a):
@@ -122,7 +128,10 @@ def run_throughput(m=M, n=N, total=TOTAL, chunk=CHUNK, emit_json=True):
     def solve_all():
         # ONE device program: lax.scan over chunks (single dispatch);
         # the result pull below is the only trustworthy sync
-        out = hsd_solve_scan(A, b_all, c_all, opts, kset, chunk=chunk, keys=keys)
+        out = hsd_solve_scan(
+            A, b_all, c_all, opts, kset, chunk=chunk, keys=keys,
+            compact_cap=CAP or None, compact_bucket=BUCKET,
+        )
         return out["objective"], out["status"], out["iterations"]
 
     t0 = time.time()

@@ -511,6 +511,74 @@ def _cast_state(s: HSDState, dtype) -> HSDState:
     return HSDState(*[cast(v) for v in s])
 
 
+def _fresh_state(ctx, b_s, c_s, opts: SolverOptions, kset: KernelSet, dtype) -> HSDState:
+    """Initial HSD state (blind or Mehrotra least-squares start)."""
+    B, m = b_s.shape
+    n = c_s.shape[-1]
+    if opts.init_point == "mehrotra":
+        x0, y0, z0 = _mehrotra_start(ctx, b_s, c_s, kset, opts.resolved_reg_eps(dtype))
+    else:
+        x0 = jnp.ones((B, n), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+        z0 = jnp.ones((B, n), dtype)
+    tau0 = jnp.ones((B,), dtype)
+    kappa0 = jnp.ones((B,), dtype)
+    rp, rd, rg, mu = _residuals(ctx, b_s, c_s, x0, y0, z0, tau0, kappa0, kset)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    return HSDState(
+        x=x0,
+        y=y0,
+        z=z0,
+        tau=tau0,
+        kappa=kappa0,
+        status=jnp.full((B,), _RUNNING, jnp.int32),
+        iterations=jnp.zeros((B,), jnp.int32),
+        k=jnp.int32(0),
+        rp0=_norm(rp),
+        rd0=_norm(rd),
+        rg0=jnp.abs(rg),
+        mu0=mu,
+        best_x=x0,
+        best_y=y0,
+        best_z=z0,
+        best_tau=tau0,
+        best_kappa=kappa0,
+        best_score=jnp.full((B,), big, dtype),
+        best_k=jnp.zeros((B,), jnp.int32),
+    )
+
+
+def _package(ctx, b_s, c_s, state: HSDState, kset: KernelSet, opts: SolverOptions, scaling, c_orig):
+    """Finalize + unscale a terminal state into the public output dict.
+
+    ``c_orig`` is the UNSCALED objective vector batch (original data) used
+    for the reported objective value.
+    """
+    x, y, z, tau, kappa, status, ind = _finalize(ctx, b_s, c_s, state, kset, opts.tol)
+    out_dtype = x.dtype
+    tau_safe = jnp.maximum(tau, jnp.asarray(jnp.finfo(out_dtype).tiny, out_dtype))
+    x_hat = x / tau_safe[..., None]
+    y_hat = y / tau_safe[..., None]
+    z_hat = z / tau_safe[..., None]
+    if scaling is not None:
+        sc = type(scaling)(*[v.astype(out_dtype) for v in scaling])
+        x_hat, y_hat, z_hat = unscale_solution(x_hat, y_hat, z_hat, sc)
+    objective = jnp.sum(c_orig.astype(out_dtype) * x_hat, axis=-1)
+    return {
+        "x": x_hat,
+        "y": y_hat,
+        "z": z_hat,
+        "tau": tau,
+        "kappa": kappa,
+        "objective": objective,
+        "status": status,
+        "iterations": state.iterations,
+        "rho_p": ind.rho_p,
+        "rho_d": ind.rho_d,
+        "rho_gap": ind.rho_g,
+    }
+
+
 @partial(jax.jit, static_argnames=("opts", "kset", "reduce_any"))
 def hsd_solve_batched(
     A,
@@ -553,8 +621,6 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
     A_w = jnp.asarray(A, wide)
     b_w = jnp.asarray(b, wide)
     c_w = jnp.asarray(c, wide)
-    B, m = b_w.shape
-    n = c_w.shape[-1]
 
     if opts.scale:
         scaling = ruiz_equilibrate(A_w)
@@ -567,37 +633,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
     c_s = c_sw.astype(dtype)
 
     ctx = kset.prepare(A_s)
-    if opts.init_point == "mehrotra":
-        x0, y0, z0 = _mehrotra_start(ctx, b_s, c_s, kset, opts.resolved_reg_eps(dtype))
-    else:
-        x0 = jnp.ones((B, n), dtype)
-        y0 = jnp.zeros((B, m), dtype)
-        z0 = jnp.ones((B, n), dtype)
-    tau0 = jnp.ones((B,), dtype)
-    kappa0 = jnp.ones((B,), dtype)
-    rp, rd, rg, mu = _residuals(ctx, b_s, c_s, x0, y0, z0, tau0, kappa0, kset)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    state = HSDState(
-        x=x0,
-        y=y0,
-        z=z0,
-        tau=tau0,
-        kappa=kappa0,
-        status=jnp.full((B,), _RUNNING, jnp.int32),
-        iterations=jnp.zeros((B,), jnp.int32),
-        k=jnp.int32(0),
-        rp0=_norm(rp),
-        rd0=_norm(rd),
-        rg0=jnp.abs(rg),
-        mu0=mu,
-        best_x=x0,
-        best_y=y0,
-        best_z=z0,
-        best_tau=tau0,
-        best_kappa=kappa0,
-        best_score=jnp.full((B,), big, dtype),
-        best_k=jnp.zeros((B,), jnp.int32),
-    )
+    state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
 
     phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
     state = _run_phase(
@@ -633,31 +669,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
         )
         A_s, b_s, c_s = A_f, b_f, c_f
 
-    x, y, z, tau, kappa, status, ind = _finalize(ctx, b_s, c_s, state, kset, opts.tol)
-
-    out_dtype = x.dtype
-    tau_safe = jnp.maximum(tau, jnp.asarray(jnp.finfo(out_dtype).tiny, out_dtype))
-    x_hat = x / tau_safe[..., None]
-    y_hat = y / tau_safe[..., None]
-    z_hat = z / tau_safe[..., None]
-    if scaling is not None:
-        sc = type(scaling)(*[v.astype(out_dtype) for v in scaling])
-        x_hat, y_hat, z_hat = unscale_solution(x_hat, y_hat, z_hat, sc)
-    objective = jnp.sum(c_w.astype(out_dtype) * x_hat, axis=-1)
-
-    return {
-        "x": x_hat,
-        "y": y_hat,
-        "z": z_hat,
-        "tau": tau,
-        "kappa": kappa,
-        "objective": objective,
-        "status": status,
-        "iterations": state.iterations,
-        "rho_p": ind.rho_p,
-        "rho_d": ind.rho_d,
-        "rho_gap": ind.rho_g,
-    }
+    return _package(ctx, b_s, c_s, state, kset, opts, scaling, c_w)
 
 
 def hsd_solve(A, b, c, opts: SolverOptions = SolverOptions(), kset: KernelSet = REFERENCE_KERNELS):
@@ -675,6 +687,86 @@ def _hsd_scan_core(A, b3, c3, opts, kset, keys):
     return res
 
 
+@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket"))
+def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket):
+    """Fused cap → compact → warm-resume sweep, all ONE device program.
+
+    A chunk's masked while_loop runs to its SLOWEST lane, so chunk cost
+    is the per-chunk max iteration count while useful work is the mean
+    (observed 64×64 bench workload: mean ~11, chunk max ~21).  Phase 1
+    therefore caps every chunk at ``cap`` iterations; the still-running
+    lanes (~8% at cap 12) are compacted ON DEVICE — a stable argsort of
+    the finished mask, gather of the full interior state — into one
+    ``bucket``-wide batch that phase 2 resumes WARM (same iterates, best
+    trackers, and stall clocks, loop counter continuing at ``cap``) with
+    the full ``opts.maxiter`` budget.  Results scatter back over the
+    phase-1 rows.  No host involvement anywhere: one dispatch, one pull.
+    """
+    with jax.default_matmul_precision("highest"):
+        dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b3, c3)
+        K, chunk, m = b3.shape
+        n = c3.shape[-1]
+        N = K * chunk
+        A_w = jnp.asarray(A, dtype)
+        c_flat = c3.reshape(N, n).astype(dtype)
+        b_flat = b3.reshape(N, m).astype(dtype)
+        if opts.scale:
+            scaling = ruiz_equilibrate(A_w)
+            A_s, b_sf, c_sf = scale_problem(A_w, b_flat, c_flat, scaling)
+        else:
+            scaling = None
+            A_s, b_sf, c_sf = A_w, b_flat, c_flat
+        ctx = kset.prepare(A_s)
+
+        def f(_, bc):
+            b_s, c_s, c_orig = bc
+            state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
+            state = _run_phase(
+                ctx, b_s, c_s, state, opts, kset, dtype, opts.tol, cap, jnp.any
+            )
+            outs = _package(ctx, b_s, c_s, state, kset, opts, scaling, c_orig)
+            return None, (tuple(outs[k] for k in keys), state)
+
+        _, (outs1, states) = lax.scan(
+            f,
+            None,
+            (
+                b_sf.reshape(K, chunk, m),
+                c_sf.reshape(K, chunk, n),
+                c3.reshape(K, chunk, n),
+            ),
+        )
+        outs1 = [v.reshape(N, *v.shape[2:]) for v in outs1]
+        # flatten per-lane state fields over (K, chunk) → (N,); the loop
+        # counter k is per-chunk — any still-RUNNING lane's chunk ran to
+        # exactly `cap` (an early-exiting chunk has no running lanes), so
+        # phase 2 resumes every gathered lane at k = cap.
+        sflat = HSDState(
+            **{
+                f_: (jnp.int32(cap) if f_ == "k" else v.reshape(N, *v.shape[2:]))
+                for f_, v in states._asdict().items()
+            }
+        )
+        unfinished = sflat.status == _RUNNING
+        # stable argsort of the finished mask → unfinished lanes first;
+        # overflow beyond `bucket` keeps its phase-1 ITERATION_LIMIT row
+        idx = jnp.argsort(~unfinished)[:bucket]
+        take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
+        state2 = HSDState(*[take(v) for v in sflat])
+        b2, c2, c_orig2 = b_sf[idx], c_sf[idx], c_flat[idx]
+        state2 = _run_phase(
+            ctx, b2, c2, state2, opts, kset, dtype, opts.tol, opts.maxiter, jnp.any
+        )
+        outs2 = _package(ctx, b2, c2, state2, kset, opts, scaling, c_orig2)
+        resumed = unfinished[idx]
+        merged = []
+        for k_, v1 in zip(keys, outs1):
+            v2 = outs2[k_]
+            mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
+            merged.append(v1.at[idx].set(jnp.where(mask, v2, v1[idx])))
+        return tuple(merged)
+
+
 def hsd_solve_scan(
     A,
     b,
@@ -684,6 +776,8 @@ def hsd_solve_scan(
     *,
     chunk: int = 16384,
     keys: tuple = ("x", "y", "z", "objective", "status", "iterations"),
+    compact_cap: int | None = None,
+    compact_bucket: int = 8192,
 ):
     """Chunked batched solve as ONE device program (``lax.scan`` over chunks).
 
@@ -703,6 +797,16 @@ def hsd_solve_scan(
     padded up to a chunk multiple (repeating the last row) and trimmed
     on return.  Returns the ``keys`` fields only (flat (N, ...) device
     arrays); fewer keys = smaller scan carries and result pulls.
+
+    ``compact_cap``: enable the fused two-phase sweep — cap every chunk
+    at this iteration count, then compact the still-running lanes on
+    device into one ``compact_bucket``-wide batch that resumes warm with
+    the full budget (see :func:`_hsd_scan_compact_core`).  On the 64×64
+    bench workload ``compact_cap=12`` cuts total device iterations ~35%
+    (chunk cost = slowest lane; p50 is 11 but chunk max is ~21).  Lanes
+    beyond ``compact_bucket`` (remnant overflow) keep their capped
+    phase-1 answer (status ITERATION_LIMIT).  Requires
+    ``opts.finish_dtype`` unset.
     """
     if getattr(A, "ndim", 2) != 2:
         raise ValueError("hsd_solve_scan requires shared 2-D A")
@@ -715,9 +819,17 @@ def hsd_solve_scan(
         b = jnp.concatenate([b, jnp.broadcast_to(b[-1:], (pad, b.shape[1]))], 0)
         c = jnp.concatenate([c, jnp.broadcast_to(c[-1:], (pad, c.shape[1]))], 0)
     K = b.shape[0] // chunk
-    res = _hsd_scan_core(
-        A, b.reshape(K, chunk, -1), c.reshape(K, chunk, -1), opts, kset, tuple(keys)
-    )
+    b3 = b.reshape(K, chunk, -1)
+    c3 = c.reshape(K, chunk, -1)
+    if compact_cap is not None:
+        if opts.finish_dtype is not None:
+            raise ValueError("compact_cap does not support finish_dtype")
+        res = _hsd_scan_compact_core(
+            A, b3, c3, opts, kset, tuple(keys),
+            int(compact_cap), min(int(compact_bucket), K * chunk),
+        )
+        return {k: v[:N] for k, v in zip(keys, res)}
+    res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys))
     return {
         k: v.reshape(K * chunk, *v.shape[2:])[:N] for k, v in zip(keys, res)
     }

@@ -112,6 +112,68 @@ class TestScanSolve:
             hsd_solve_scan(np.broadcast_to(A, (48, *A.shape)), b, c, SolverOptions())
 
 
+class TestCompactScan:
+    """Fused cap/compact/warm-resume sweep (single device program)."""
+
+    def test_matches_plain_scan_exactly(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        ref = hsd_solve_scan(A, b, c, opts, chunk=16)
+        # warm resume continues the identical iterate trajectory, so the
+        # result must be BIT-identical to the uncompacted solve
+        out = hsd_solve_scan(
+            A, b, c, opts, chunk=16, compact_cap=6, compact_bucket=48
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["objective"]), np.asarray(ref["objective"])
+        )
+        np.testing.assert_array_equal(np.asarray(out["status"]), np.asarray(ref["status"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["iterations"]), np.asarray(ref["iterations"])
+        )
+
+    def test_cap_actually_bites(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_batched
+
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        capped = hsd_solve_batched(A, b, c, opts.replace(maxiter=6))
+        n_unfinished = int(
+            (np.asarray(capped["status"]) == int(Status.ITERATION_LIMIT)).sum()
+        )
+        assert n_unfinished > 0, "fixture must exercise the resume path"
+
+    def test_bucket_overflow_keeps_capped_rows(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b, c = batch_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        out = hsd_solve_scan(
+            A, b, c, opts, chunk=16, compact_cap=6, compact_bucket=2
+        )
+        status = np.asarray(out["status"])
+        # at most 2 lanes resumed; overflow rows keep ITERATION_LIMIT
+        assert (status == int(Status.ITERATION_LIMIT)).any()
+        # every resumed/finished lane is optimal
+        done = status == int(Status.OPTIMAL)
+        ref = hsd_solve_scan(A, b, c, opts, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(out["objective"])[done],
+            np.asarray(ref["objective"])[done],
+            rtol=1e-9,
+        )
+
+    def test_finish_dtype_rejected(self, batch_problem):
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b, c = batch_problem
+        opts = SolverOptions(dtype="float32", finish_dtype="float64")
+        with pytest.raises(ValueError, match="finish_dtype"):
+            hsd_solve_scan(A, b, c, opts, compact_cap=6)
+
+
 class TestStallRtol:
     def test_default_zero_is_noop(self, batch_problem):
         A, b, c = batch_problem
