@@ -198,7 +198,7 @@ def empty(Mmat, reg):
 
 VARIANTS = {name: (body, LANES) for name, body in BODIES.items()}
 VARIANTS["cur256"] = (_chol_body_cur, 256)
-VARIANTS["cur512"] = (_chol_body_cur, 512)
+
 
 
 chains = {}
