@@ -245,12 +245,17 @@ def run_sweep():
     total = int(os.environ.get("BENCH_TOTAL", 131072))
     lp = random_standard_lp(M, N, nlp=total, seed=3, dtype=np.float32)
     eq = lp.to_equality_form()
-    A = np.asarray(eq.A, np.float32)
-    b = np.asarray(eq.b, np.float32)
-    c = np.asarray(eq.c, np.float32)
-    res = scenario_sweep(A, b, c, bench_options(), chunk=CHUNK)  # warm incl compile
+    # scenario stream staged on device once (as in run_throughput):
+    # through the remote tunnel a host->device upload of the 134MB b/c
+    # stream otherwise dominates the measurement ~50x
+    A = jax.device_put(np.asarray(eq.A, np.float32))
+    b = jax.device_put(np.asarray(eq.b, np.float32))
+    c = jax.device_put(np.asarray(eq.c, np.float32))
+    kw = dict(chunk=CHUNK, kset=get_kset(), compact_cap=CAP or None,
+              compact_bucket=2 * BUCKET)  # 2 windows' remnants share a bucket
+    res = scenario_sweep(A, b, c, bench_options(), **kw)  # warm incl compile
     t0 = time.time()
-    res = scenario_sweep(A, b, c, bench_options(), chunk=CHUNK)
+    res = scenario_sweep(A, b, c, bench_options(), **kw)
     dt = time.time() - t0
     ok = (res.status == int(Status.OPTIMAL)) | (res.status == int(Status.STALLED))
     log(f"sweep {total} scenarios in {dt:.2f}s, ok={ok.mean()*100:.1f}%")

@@ -65,6 +65,37 @@ class TestSweep:
         data = np.load(tmp_path / "sweep" / "chunk_000000.npz")
         assert data["x"].shape == (25, A.shape[1])
 
+    def test_window_sizes_agree(self, sweep_problem):
+        A, b, c = sweep_problem
+        opts = SolverOptions(tol=1e-8)
+        one = scenario_sweep(A, b, c, opts, chunk=16, window_chunks=1)
+        win = scenario_sweep(A, b, c, opts, chunk=16, window_chunks=4)
+        # the tail chunk is padded differently (2-lane vs 16-lane batch),
+        # which changes SIMD reduction order — tolerance-level, not exact
+        np.testing.assert_allclose(one.objective, win.objective, rtol=1e-6)
+        np.testing.assert_array_equal(one.status, win.status)
+
+    def test_window_with_compaction(self, sweep_problem, tmp_path):
+        A, b, c = sweep_problem
+        opts = SolverOptions(tol=1e-8, maxiter=60)
+        d = str(tmp_path / "sweep")
+        plain = scenario_sweep(A, b, c, opts, chunk=16)
+        comp = scenario_sweep(
+            A, b, c, opts, chunk=16, out_dir=d,
+            compact_cap=6, compact_bucket=50,
+        )
+        # warm resume is trajectory-identical
+        np.testing.assert_array_equal(plain.objective, comp.objective)
+        # interleaved partial resume across a window boundary
+        (tmp_path / "sweep" / "chunk_000001.npz").unlink()
+        (tmp_path / "sweep" / "chunk_000003.npz").unlink()
+        redo = scenario_sweep(
+            A, b, c, opts, chunk=16, out_dir=d,
+            compact_cap=6, compact_bucket=50,
+        )
+        assert redo.n_resumed == 2
+        np.testing.assert_array_equal(plain.objective, redo.objective)
+
     def test_sharded_sweep(self, sweep_problem):
         from pycllp_tpu.parallel import scenario_mesh
 
