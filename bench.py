@@ -192,15 +192,18 @@ def run_netlib():
     c = np.repeat(c, reps, 0)
     mm, nn = A.shape[1], A.shape[2]
     eye = np.broadcast_to(np.eye(mm, dtype=np.float32), (A.shape[0], mm, mm))
-    A_eq = np.concatenate([A, eye], axis=2)
-    c_eq = np.concatenate([-c, np.zeros((A.shape[0], mm), np.float32)], axis=1)
+    A_eq = jax.device_put(np.concatenate([A, eye], axis=2))
+    c_eq = jax.device_put(
+        np.concatenate([-c, np.zeros((A.shape[0], mm), np.float32)], axis=1)
+    )
+    b = jax.device_put(b)
     opts = bench_options()
     t0 = time.time()
-    out = hsd_solve_batched(A_eq, b, c_eq, opts)
+    out = hsd_solve_batched(A_eq, b, c_eq, opts, get_kset())
     np.asarray(out["objective"])
     log(f"warmup: {time.time()-t0:.1f}s")
     t0 = time.time()
-    out = hsd_solve_batched(A_eq, b, c_eq, opts)
+    out = hsd_solve_batched(A_eq, b, c_eq, opts, get_kset())
     obj = np.asarray(out["objective"])
     dt = time.time() - t0
     total = A.shape[0]
