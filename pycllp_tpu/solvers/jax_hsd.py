@@ -14,10 +14,15 @@ import jax.numpy as jnp
 from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
 from pycllp_tpu.ops.reference import REFERENCE_KERNELS, KernelSet
 from pycllp_tpu.solvers.base import BaseSolver, register_solver
-from pycllp_tpu.solvers.hsd import hsd_solve_batched
+from pycllp_tpu.solvers.hsd import hsd_solve_batched, hsd_solve_scan
 from pycllp_tpu.solvers.options import Solution
 
 __all__ = ["JaxHSDSolver", "PallasHSDSolver"]
+
+_SOLUTION_KEYS = (
+    "x", "y", "z", "objective", "status", "iterations",
+    "rho_p", "rho_d", "rho_gap",
+)
 
 
 @register_solver
@@ -27,31 +32,53 @@ class JaxHSDSolver(BaseSolver):
     The whole solve is one jitted ``lax.while_loop``; per-instance
     convergence is a masked status vector (pycllp's per-work-item flags,
     re-platformed — SURVEY.md §2.3).
+
+    Large-batch throughput knobs (shared 2-D A only; see
+    :func:`~pycllp_tpu.solvers.hsd.hsd_solve_scan`):
+
+    chunk : solve the batch as a ``lax.scan`` of chunk-wide masked
+        while_loops in ONE device program.
+    compact_cap / compact_bucket : fused cap/compact/warm-resume sweep —
+        cap every chunk, finish the slow tail compacted into one bucket.
     """
 
     name = "hsd"
     aliases = ("jax_hsd",)
     kernels: KernelSet = REFERENCE_KERNELS
 
+    def __init__(
+        self,
+        options=None,
+        *,
+        chunk: int | None = None,
+        compact_cap: int | None = None,
+        compact_bucket: int = 8192,
+        **opt_kwargs,
+    ):
+        super().__init__(options, **opt_kwargs)
+        self.chunk = chunk
+        self.compact_cap = compact_cap
+        self.compact_bucket = compact_bucket
+
     def _solve_impl(self, A, b, c) -> Solution:
         return self._solve_with(A, b, c, self.kernels)
 
     def _solve_with(self, A, b, c, kernels) -> Solution:
-        out = hsd_solve_batched(
-            jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), self.options, kernels
-        )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        return Solution(
-            x=out["x"],
-            y=out["y"],
-            z=out["z"],
-            objective=out["objective"],
-            status=out["status"],
-            iterations=out["iterations"],
-            rho_p=out["rho_p"],
-            rho_d=out["rho_d"],
-            rho_gap=out["rho_gap"],
-        )
+        scan = (self.chunk or self.compact_cap) and getattr(A, "ndim", 2) == 2
+        if scan:
+            out = hsd_solve_scan(
+                jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                self.options, kernels,
+                chunk=self.chunk or b.shape[0], keys=_SOLUTION_KEYS,
+                compact_cap=self.compact_cap,
+                compact_bucket=self.compact_bucket,
+            )
+        else:
+            out = hsd_solve_batched(
+                jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), self.options, kernels
+            )
+        out = {k: np.asarray(out[k]) for k in _SOLUTION_KEYS}
+        return Solution(**out)
 
 
 @register_solver

@@ -165,6 +165,25 @@ class TestCompactScan:
             rtol=1e-9,
         )
 
+    def test_registry_solver_scan_knobs(self):
+        """get_solver(..., chunk/compact_cap) routes through the scan."""
+        import pycllp_tpu as tp
+        from pycllp_tpu.io.generate import random_standard_lp
+
+        lp = random_standard_lp(6, 10, nlp=40, seed=77, dtype=np.float64)
+        plain = tp.get_solver("hsd", tol=1e-8, maxiter=60)
+        plain.init(lp)
+        ref = plain.solve()
+        fast = tp.get_solver(
+            "hsd", tol=1e-8, maxiter=60, chunk=16, compact_cap=6, compact_bucket=40
+        )
+        fast.init(lp)
+        sol = fast.solve()
+        assert (np.asarray(sol.status) == int(Status.OPTIMAL)).all()
+        np.testing.assert_allclose(
+            np.asarray(sol.objective), np.asarray(ref.objective), rtol=1e-7
+        )
+
     def test_finish_dtype_rejected(self, batch_problem):
         from pycllp_tpu.solvers.hsd import hsd_solve_scan
 
