@@ -511,10 +511,50 @@ def _cast_state(s: HSDState, dtype) -> HSDState:
     return HSDState(*[cast(v) for v in s])
 
 
-def _fresh_state(ctx, b_s, c_s, opts: SolverOptions, kset: KernelSet, dtype) -> HSDState:
-    """Initial HSD state (blind or Mehrotra least-squares start)."""
+def _fresh_state(
+    ctx, b_s, c_s, opts: SolverOptions, kset: KernelSet, dtype, warm=None
+) -> HSDState:
+    """Initial HSD state (blind, Mehrotra least-squares, or warm start).
+
+    ``warm`` is an optional (x, y, z) triple in SCALED equality
+    coordinates — typically the previous solve's solution on a nearby
+    problem.  A solution sits ON the boundary (complementary zeros), so
+    it is interiorized: blended ``warm_lambda`` of the way toward the
+    well-centered blind start and floored strictly positive; κ is set to
+    the point's own average complementarity so τκ does not drown the
+    warm point's small μ.
+    """
     B, m = b_s.shape
     n = c_s.shape[-1]
+    if warm is not None:
+        lam = jnp.asarray(opts.warm_lambda, dtype)
+        xw, yw, zw = (jnp.asarray(v, dtype) for v in warm)
+        x0 = jnp.maximum((1.0 - lam) * xw + lam, 1e-4)
+        z0 = jnp.maximum((1.0 - lam) * zw + lam, 1e-4)
+        y0 = (1.0 - lam) * yw
+        tau0 = jnp.ones((B,), dtype)
+        kappa0 = jnp.sum(x0 * z0, axis=-1) / n
+        # indicator normalizers come from the BLIND start, not the warm
+        # point: a warm start's residuals are tiny, and normalizing by
+        # them would make the termination test absolute (strictly harder
+        # than a cold solve's relative test) — warm and cold solves must
+        # face the identical convergence criterion.
+        ones_x = jnp.ones((B, n), dtype)
+        rp_b, rd_b, rg_b, mu_b = _residuals(
+            ctx, b_s, c_s, ones_x, jnp.zeros((B, m), dtype), ones_x,
+            jnp.ones((B,), dtype), jnp.ones((B,), dtype), kset,
+        )
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        return HSDState(
+            x=x0, y=y0, z=z0, tau=tau0, kappa=kappa0,
+            status=jnp.full((B,), _RUNNING, jnp.int32),
+            iterations=jnp.zeros((B,), jnp.int32),
+            k=jnp.int32(0),
+            rp0=_norm(rp_b), rd0=_norm(rd_b), rg0=jnp.abs(rg_b), mu0=mu_b,
+            best_x=x0, best_y=y0, best_z=z0, best_tau=tau0, best_kappa=kappa0,
+            best_score=jnp.full((B,), big, dtype),
+            best_k=jnp.zeros((B,), jnp.int32),
+        )
     if opts.init_point == "mehrotra":
         x0, y0, z0 = _mehrotra_start(ctx, b_s, c_s, kset, opts.resolved_reg_eps(dtype))
     else:
@@ -587,6 +627,7 @@ def hsd_solve_batched(
     opts: SolverOptions = SolverOptions(),
     kset: KernelSet = REFERENCE_KERNELS,
     reduce_any: Callable = jnp.any,
+    warm=None,
 ):
     """Solve a batch of equality-form LPs ``min cᵀx, Ax = b, x ≥ 0``.
 
@@ -596,6 +637,12 @@ def hsd_solve_batched(
     b : (B, m); c : (B, n).
     reduce_any : mask reduction for the loop predicate; the sharded path
         passes a collective (e.g. a psum of the local mask).
+    warm : optional (x, y, z) starting point in UNSCALED equality
+        coordinates, batched — typically the previous solve's solution on
+        a nearby problem (the sequential re-solve pattern).  Scaled and
+        interiorized internally (``SolverOptions.warm_lambda``); on
+        correlated scenario sequences this typically halves the
+        iteration count.  Overrides ``opts.init_point``.
 
     Returns a dict of arrays: x, y, z, tau, kappa, objective, status,
     iterations, rho_p, rho_d, rho_gap — all with leading batch axis.
@@ -606,10 +653,10 @@ def hsd_solve_batched(
     Cholesky within a few IPM iterations (observed on v5e).
     """
     with jax.default_matmul_precision("highest"):
-        return _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any)
+        return _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm)
 
 
-def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
+def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
     dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b, c)
     finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
     # With a finish phase configured, scaling and the phase-2 arrays are
@@ -633,7 +680,16 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any):
     c_s = c_sw.astype(dtype)
 
     ctx = kset.prepare(A_s)
-    state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
+    if warm is not None:
+        # map the user's unscaled warm point into scaled coordinates
+        # (inverse of unscale_solution: x̃ = x/s, ỹ = y/r, z̃ = z·s)
+        xw, yw, zw = (jnp.asarray(v, dtype) for v in warm)
+        if scaling is not None:
+            xw = xw / scaling.col.astype(dtype)
+            yw = yw / scaling.row.astype(dtype)
+            zw = zw * scaling.col.astype(dtype)
+        warm = (xw, yw, zw)
+    state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype, warm=warm)
 
     phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
     state = _run_phase(

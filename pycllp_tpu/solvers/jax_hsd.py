@@ -59,6 +59,11 @@ class JaxHSDSolver(BaseSolver):
         self.chunk = chunk
         self.compact_cap = compact_cap
         self.compact_bucket = compact_bucket
+        self._warm = None  # (x, y, z) equality-coordinate solution of the
+        # previous solve, kept when options.warm_start is set
+
+    def _init_impl(self, eq) -> None:
+        self._warm = None  # new structure invalidates the warm point
 
     def _solve_impl(self, A, b, c) -> Solution:
         return self._solve_with(A, b, c, self.kernels)
@@ -74,10 +79,20 @@ class JaxHSDSolver(BaseSolver):
                 compact_bucket=self.compact_bucket,
             )
         else:
+            warm = None
+            if self.options.warm_start and self._warm is not None:
+                shapes_match = (
+                    self._warm[0].shape == (b.shape[0], c.shape[-1])
+                    and self._warm[1].shape == b.shape
+                )
+                warm = self._warm if shapes_match else None
             out = hsd_solve_batched(
-                jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), self.options, kernels
+                jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                self.options, kernels, warm=warm,
             )
         out = {k: np.asarray(out[k]) for k in _SOLUTION_KEYS}
+        if self.options.warm_start and not scan:
+            self._warm = (out["x"], out["y"], out["z"])
         return Solution(**out)
 
 

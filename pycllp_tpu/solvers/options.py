@@ -110,6 +110,15 @@ class SolverOptions:
     init_point: str = "ones"  # "ones" (blind HSD start) or "mehrotra"
     # (least-squares start: one extra factorization, typically saves
     # 2-4 IPM iterations)
+    warm_start: bool = False  # registry-level: reuse the previous solve's
+    # solution as the starting point for the next solve on the same
+    # structure (the upstream init-once / re-solve sweep pattern).  See
+    # ``hsd_solve_batched(..., warm=)`` for the underlying mechanism.
+    warm_lambda: float = 0.05  # interiorization blend for a warm start:
+    # the supplied point is pulled this fraction of the way toward the
+    # well-centered blind start (x=z=1 on scaled data), then floored
+    # strictly positive — a boundary point (an optimal solution has many
+    # zeros) would stall the very first ratio test otherwise.
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
