@@ -5,6 +5,15 @@ reader (SURVEY.md §2.2; reference mount empty this build — SURVEY.md
 §0).  Free-format MPS: NAME, OBJSENSE, ROWS (N/L/G/E), COLUMNS (integer
 markers tolerated as LP relaxation), RHS, RANGES, BOUNDS
 (UP/LO/FX/FR/MI/PL/BV), ENDATA.  Produces a :class:`GeneralLP`.
+
+Conventions and deliberate simplifications:
+
+* the FIRST ``N`` row is the objective; any further ``N`` (free) rows are
+  dropped, along with their COLUMNS entries — free rows never constrain
+  the LP and real netlib files use at most one;
+* an RHS entry on the objective row sets the objective constant with the
+  canonical ``f = -value`` sign;
+* integer markers are accepted and ignored (LP relaxation).
 """
 
 from __future__ import annotations
@@ -52,6 +61,7 @@ def read_mps(source) -> MPSProblem:
     obj_name = None
     row_sense: dict[str, str] = {}
     row_order: list[str] = []
+    row_index: dict[str, int] = {}
     col_order: list[str] = []
     col_index: dict[str, int] = {}
     entries = SparseMatrixBuilder()
@@ -94,6 +104,7 @@ def read_mps(source) -> MPSProblem:
                 # extra N rows are ignored (free rows)
             else:
                 row_sense[rname] = rs
+                row_index[rname] = len(row_order)
                 row_order.append(rname)
         elif section == "COLUMNS":
             if len(parts) >= 3 and parts[1].upper() == "'MARKER'":
@@ -107,7 +118,7 @@ def read_mps(source) -> MPSProblem:
                 if rname == obj_name:
                     obj_coefs[j] = obj_coefs.get(j, 0.0) + v
                 elif rname in row_sense:
-                    entries.add_value(row_order.index(rname), j, v)
+                    entries.add_value(row_index[rname], j, v)
                 # values for unknown/free rows are dropped
         elif section == "RHS":
             # first token is the RHS set name (may be omitted in the wild)

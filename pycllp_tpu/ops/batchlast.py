@@ -171,14 +171,22 @@ def _solve_kernel(l_ref, dinv_ref, r_ref, v_ref, *, m: int, k_rhs: int):
 # ---------------------------------------------------------------------------
 
 
+def _z(i):
+    # index-map zero derived from the grid index: a literal Python 0
+    # traces to i64 under jax_enable_x64 and Mosaic cannot legalize the
+    # resulting (i64, …) index-map return (the grid index itself stays
+    # i32) — `i - i` keeps the zero in the grid index's dtype.
+    return i - i
+
+
 def _lp_specs(m, k_rhs=None):
-    l_spec = pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    dinv_spec = pl.BlockSpec((m, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
-    reg_spec = pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    l_spec = pl.BlockSpec((m, m, LANES), lambda i: (_z(i), _z(i), i), memory_space=pltpu.VMEM)
+    dinv_spec = pl.BlockSpec((m, LANES), lambda i: (_z(i), i), memory_space=pltpu.VMEM)
+    reg_spec = pl.BlockSpec((1, LANES), lambda i: (_z(i), i), memory_space=pltpu.VMEM)
     rhs_spec = None
     if k_rhs is not None:
         rhs_spec = pl.BlockSpec(
-            (k_rhs, m, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (k_rhs, m, LANES), lambda i: (_z(i), _z(i), i), memory_space=pltpu.VMEM
         )
     return l_spec, dinv_spec, reg_spec, rhs_spec
 
@@ -193,8 +201,8 @@ def _fused_factor_bl(W, dT, reg, *, m: int):
         functools.partial(_fused_factor_kernel, m=m),
         grid=(B // LANES,),
         in_specs=[
-            pl.BlockSpec((m * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * m, n), lambda i: (_z(i), _z(i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda i: (_z(i), i), memory_space=pltpu.VMEM),
             reg_spec,
         ],
         out_specs=[l_spec, dinv_spec],
@@ -376,6 +384,21 @@ class BatchLastKernels(KernelSet):
             M = (ctx.W @ dT).reshape(m, m, Bp)
             L, dinv = _chol_bl(M, regp, m=m)
         return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
+
+    def finish_kernels(self) -> KernelSet:
+        """Mixed-precision finish: f32 Pallas factors + f64 refinement.
+
+        The f64 finish phase would otherwise fall back to XLA's emulated
+        f64 (matmul ~65x slower than f32 on v5e); the mixed set keeps all
+        O(m³) work in these Pallas kernels and pays f64 only for O(m·n)
+        residual matvecs.  See :mod:`pycllp_tpu.ops.mixed`.
+        """
+        fk = getattr(self, "_finish_kernels", None)
+        if fk is None:
+            from pycllp_tpu.ops.mixed import MixedPrecisionKernels
+
+            fk = self._finish_kernels = MixedPrecisionKernels(self)
+        return fk
 
     def factor_and_solve(self, ctx, d, reg_eps, rs):
         """Fused path: factorization + first solve batch in one launch.

@@ -537,8 +537,11 @@ def _fresh_state(
         # indicator normalizers come from the BLIND start, not the warm
         # point: a warm start's residuals are tiny, and normalizing by
         # them would make the termination test absolute (strictly harder
-        # than a cold solve's relative test) — warm and cold solves must
-        # face the identical convergence criterion.
+        # than a cold solve's relative test).  A warm solve therefore
+        # faces the same criterion as a cold init_point='ones' solve;
+        # cold init_point='mehrotra' normalizes by ITS start's residuals
+        # instead, so those two criteria differ by the ratio of the
+        # starts' residual norms.
         ones_x = jnp.ones((B, n), dtype)
         rp_b, rd_b, rg_b, mu_b = _residuals(
             ctx, b_s, c_s, ones_x, jnp.zeros((B, m), dtype), ones_x,
@@ -701,9 +704,13 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         # iterations ran on the fast dtype; the last few polish to full
         # tol — against the wide-dtype problem data, NOT an upcast of the
         # rounded phase-1 copies (see note at the top of this function).
+        # The kernel set may substitute a mixed-precision sibling here
+        # (f32 Pallas factors + f64 refinement) so the O(m³) work stays
+        # on the fast path — see KernelSet.finish_kernels.
         fdtype = jnp.dtype(opts.finish_dtype)
+        fkset = kset.finish_kernels()
         A_f, b_f, c_f = A_sw, b_sw, c_sw
-        ctx = kset.prepare(A_f)
+        ctx = fkset.prepare(A_f)
         state = _cast_state(state, fdtype)
         reopen = (state.status != jnp.int32(int(Status.NUMERICAL)))
         state = state._replace(
@@ -717,13 +724,13 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             c_f,
             state,
             opts,
-            kset,
+            fkset,
             fdtype,
             opts.tol,
             opts.maxiter + opts.finish_maxiter,
             reduce_any,
         )
-        A_s, b_s, c_s = A_f, b_f, c_f
+        return _package(ctx, b_f, c_f, state, fkset, opts, scaling, c_w)
 
     return _package(ctx, b_s, c_s, state, kset, opts, scaling, c_w)
 
@@ -743,84 +750,156 @@ def _hsd_scan_core(A, b3, c3, opts, kset, keys):
     return res
 
 
-@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket"))
-def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket):
+def _compact_resume(ctx, b_sf, c_sf, sflat, opts, kset, dtype, tol, maxiter, bucket):
+    """Compact the still-RUNNING lanes on device and resume them warm.
+
+    Stable argsort of the finished mask → gather the full interior state
+    of up to ``bucket`` unfinished lanes into one dense batch, run the
+    masked loop with the remaining budget, scatter the state back.  Lanes
+    beyond ``bucket`` (overflow) keep their capped state.
+    """
+    unfinished = sflat.status == _RUNNING
+    idx = jnp.argsort(~unfinished)[:bucket]
+    take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
+    state2 = HSDState(*[take(v) for v in sflat])
+    state2 = _run_phase(
+        ctx, b_sf[idx], c_sf[idx], state2, opts, kset, dtype, tol, maxiter, jnp.any
+    )
+    resumed = unfinished[idx]
+    merged = {}
+    for name, v in sflat._asdict().items():
+        if not getattr(v, "ndim", 0):  # scalar loop counter
+            merged[name] = jnp.maximum(v, getattr(state2, name))
+            continue
+        v2 = getattr(state2, name)
+        mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
+        merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
+    return HSDState(**merged)
+
+
+@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "finish_cap"))
+def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap):
     """Fused cap → compact → warm-resume sweep, all ONE device program.
 
     A chunk's masked while_loop runs to its SLOWEST lane, so chunk cost
     is the per-chunk max iteration count while useful work is the mean
-    (observed 64×64 bench workload: mean ~11, chunk max ~21).  Phase 1
+    (observed 64×64 bench workload: mean ~11, chunk max ~21).  Stage 1
     therefore caps every chunk at ``cap`` iterations; the still-running
     lanes (~8% at cap 12) are compacted ON DEVICE — a stable argsort of
     the finished mask, gather of the full interior state — into one
-    ``bucket``-wide batch that phase 2 resumes WARM (same iterates, best
+    ``bucket``-wide batch that stage 2 resumes WARM (same iterates, best
     trackers, and stall clocks, loop counter continuing at ``cap``) with
     the full ``opts.maxiter`` budget.  Results scatter back over the
-    phase-1 rows.  No host involvement anywhere: one dispatch, one pull.
+    stage-1 rows.  No host involvement anywhere: one dispatch, one pull.
+
+    With ``opts.finish_dtype`` set, two more stages polish EVERY lane to
+    the full ``opts.tol`` contract in the wide dtype (the kernel set's
+    ``finish_kernels()`` sibling keeps O(m³) work narrow — see
+    pycllp_tpu.ops.mixed): stage 3 re-opens all non-NUMERICAL lanes and
+    scans ``finish_cap``-capped wide chunks; stage 4 compacts the finish
+    tail and resumes it with ``opts.finish_maxiter`` more iterations.
+    Scaling and the wide-stage arrays derive from the ORIGINAL data; the
+    narrow stages see rounded copies (same rationale as
+    ``hsd_solve_batched``'s finish phase).
     """
     with jax.default_matmul_precision("highest"):
         dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b3, c3)
+        finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
+        wide = jnp.dtype(opts.finish_dtype) if finish else dtype
         K, chunk, m = b3.shape
         n = c3.shape[-1]
         N = K * chunk
-        A_w = jnp.asarray(A, dtype)
-        c_flat = c3.reshape(N, n).astype(dtype)
-        b_flat = b3.reshape(N, m).astype(dtype)
+        A_w = jnp.asarray(A, wide)
+        c_flat_w = c3.reshape(N, n).astype(wide)
+        b_flat_w = b3.reshape(N, m).astype(wide)
         if opts.scale:
             scaling = ruiz_equilibrate(A_w)
-            A_s, b_sf, c_sf = scale_problem(A_w, b_flat, c_flat, scaling)
+            A_sw, b_sfw, c_sfw = scale_problem(A_w, b_flat_w, c_flat_w, scaling)
         else:
             scaling = None
-            A_s, b_sf, c_sf = A_w, b_flat, c_flat
+            A_sw, b_sfw, c_sfw = A_w, b_flat_w, c_flat_w
+        A_s = A_sw.astype(dtype)
+        b_sf = b_sfw.astype(dtype)
+        c_sf = c_sfw.astype(dtype)
         ctx = kset.prepare(A_s)
+        phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
 
+        # ---- stage 1: scanned, capped narrow chunks ----
         def f(_, bc):
-            b_s, c_s, c_orig = bc
+            b_s, c_s = bc
             state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
             state = _run_phase(
-                ctx, b_s, c_s, state, opts, kset, dtype, opts.tol, cap, jnp.any
+                ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, cap, jnp.any
             )
-            outs = _package(ctx, b_s, c_s, state, kset, opts, scaling, c_orig)
-            return None, (tuple(outs[k] for k in keys), state)
+            return None, state
 
-        _, (outs1, states) = lax.scan(
-            f,
-            None,
-            (
-                b_sf.reshape(K, chunk, m),
-                c_sf.reshape(K, chunk, n),
-                c3.reshape(K, chunk, n),
-            ),
+        _, states = lax.scan(
+            f, None, (b_sf.reshape(K, chunk, m), c_sf.reshape(K, chunk, n))
         )
-        outs1 = [v.reshape(N, *v.shape[2:]) for v in outs1]
         # flatten per-lane state fields over (K, chunk) → (N,); the loop
         # counter k is per-chunk — any still-RUNNING lane's chunk ran to
         # exactly `cap` (an early-exiting chunk has no running lanes), so
-        # phase 2 resumes every gathered lane at k = cap.
+        # stage 2 resumes every gathered lane at k = cap.
         sflat = HSDState(
             **{
                 f_: (jnp.int32(cap) if f_ == "k" else v.reshape(N, *v.shape[2:]))
                 for f_, v in states._asdict().items()
             }
         )
-        unfinished = sflat.status == _RUNNING
-        # stable argsort of the finished mask → unfinished lanes first;
-        # overflow beyond `bucket` keeps its phase-1 ITERATION_LIMIT row
-        idx = jnp.argsort(~unfinished)[:bucket]
-        take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
-        state2 = HSDState(*[take(v) for v in sflat])
-        b2, c2, c_orig2 = b_sf[idx], c_sf[idx], c_flat[idx]
-        state2 = _run_phase(
-            ctx, b2, c2, state2, opts, kset, dtype, opts.tol, opts.maxiter, jnp.any
+
+        # ---- stage 2: compact the narrow tail, resume with full budget ----
+        sflat = _compact_resume(
+            ctx, b_sf, c_sf, sflat, opts, kset, dtype, phase1_tol, opts.maxiter, bucket
         )
-        outs2 = _package(ctx, b2, c2, state2, kset, opts, scaling, c_orig2)
-        resumed = unfinished[idx]
-        merged = []
-        for k_, v1 in zip(keys, outs1):
-            v2 = outs2[k_]
-            mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
-            merged.append(v1.at[idx].set(jnp.where(mask, v2, v1[idx])))
-        return tuple(merged)
+
+        if not finish:
+            outs = _package(
+                ctx, b_sf, c_sf, sflat, kset, opts, scaling, c_flat_w.astype(dtype)
+            )
+            return tuple(outs[k] for k in keys)
+
+        # ---- stage 3: wide finish over ALL lanes, scanned per chunk ----
+        fkset = kset.finish_kernels()
+        fctx = fkset.prepare(A_sw)
+        sflat = _cast_state(sflat, wide)
+        reopen = sflat.status != jnp.int32(int(Status.NUMERICAL))
+        sflat = sflat._replace(
+            status=jnp.where(reopen, _RUNNING, sflat.status),
+            k=jnp.int32(0),
+            best_score=jnp.full_like(sflat.best_score, jnp.finfo(wide).max),
+            best_k=jnp.zeros_like(sflat.best_k),
+        )
+        per_lane = {
+            f_: v.reshape(K, chunk, *v.shape[1:])
+            for f_, v in sflat._asdict().items()
+            if f_ != "k"
+        }
+
+        def g(_, xs):
+            st_fields, b_s, c_s = xs
+            st = HSDState(k=jnp.int32(0), **st_fields)
+            st = _run_phase(
+                fctx, b_s, c_s, st, opts, fkset, wide, opts.tol, finish_cap, jnp.any
+            )
+            return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
+
+        _, fdict = lax.scan(
+            g,
+            None,
+            (per_lane, b_sfw.reshape(K, chunk, m), c_sfw.reshape(K, chunk, n)),
+        )
+        sflat = HSDState(
+            k=jnp.int32(finish_cap),
+            **{f_: v.reshape(N, *v.shape[2:]) for f_, v in fdict.items()},
+        )
+
+        # ---- stage 4: compact the wide finish tail, resume ----
+        sflat = _compact_resume(
+            fctx, b_sfw, c_sfw, sflat, opts, fkset, wide, opts.tol,
+            finish_cap + opts.finish_maxiter, bucket,
+        )
+        outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
+        return tuple(outs[k] for k in keys)
 
 
 def hsd_solve_scan(
@@ -834,6 +913,7 @@ def hsd_solve_scan(
     keys: tuple = ("x", "y", "z", "objective", "status", "iterations"),
     compact_cap: int | None = None,
     compact_bucket: int = 8192,
+    finish_cap: int = 6,
 ):
     """Chunked batched solve as ONE device program (``lax.scan`` over chunks).
 
@@ -861,8 +941,12 @@ def hsd_solve_scan(
     bench workload ``compact_cap=12`` cuts total device iterations ~35%
     (chunk cost = slowest lane; p50 is 11 but chunk max is ~21).  Lanes
     beyond ``compact_bucket`` (remnant overflow) keep their capped
-    phase-1 answer (status ITERATION_LIMIT).  Requires
-    ``opts.finish_dtype`` unset.
+    phase-1 answer (status ITERATION_LIMIT).
+
+    With ``opts.finish_dtype`` set, the compact sweep appends a wide
+    polish of EVERY lane to the full ``opts.tol`` (``finish_cap``-capped
+    scanned chunks + one compacted tail resume) — the configuration that
+    meets the 1e-6 contract at batched-f32 throughput.
     """
     if getattr(A, "ndim", 2) != 2:
         raise ValueError("hsd_solve_scan requires shared 2-D A")
@@ -878,11 +962,10 @@ def hsd_solve_scan(
     b3 = b.reshape(K, chunk, -1)
     c3 = c.reshape(K, chunk, -1)
     if compact_cap is not None:
-        if opts.finish_dtype is not None:
-            raise ValueError("compact_cap does not support finish_dtype")
         res = _hsd_scan_compact_core(
             A, b3, c3, opts, kset, tuple(keys),
             int(compact_cap), min(int(compact_bucket), K * chunk),
+            int(finish_cap),
         )
         return {k: v[:N] for k, v in zip(keys, res)}
     res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys))

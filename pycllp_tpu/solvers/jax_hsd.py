@@ -15,7 +15,7 @@ from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
 from pycllp_tpu.ops.reference import REFERENCE_KERNELS, KernelSet
 from pycllp_tpu.solvers.base import BaseSolver, register_solver
 from pycllp_tpu.solvers.hsd import hsd_solve_batched, hsd_solve_scan
-from pycllp_tpu.solvers.options import Solution
+from pycllp_tpu.solvers.options import Solution, Status
 
 __all__ = ["JaxHSDSolver", "PallasHSDSolver"]
 
@@ -23,6 +23,31 @@ _SOLUTION_KEYS = (
     "x", "y", "z", "objective", "status", "iterations",
     "rho_p", "rho_d", "rho_gap",
 )
+
+# statuses whose terminal point is a useful warm start for the next solve
+_WARMABLE = (int(Status.OPTIMAL), int(Status.STALLED), int(Status.ITERATION_LIMIT))
+
+
+def _sanitized_warm(out: dict, prev):
+    """Per-lane warm cache update that cannot poison later solves.
+
+    INFEASIBLE/UNBOUNDED lanes have τ→0 (x/τ blows up) and NUMERICAL
+    lanes carry NaN; caching those verbatim would propagate through
+    every subsequent warm solve on that lane.  Such lanes keep the
+    previous warm point if one exists, else fall back to the blind
+    start (x=z=1, y=0) — always per lane.
+    """
+    keep = np.isin(out["status"], _WARMABLE)
+    keep = keep & np.isfinite(out["x"]).all(-1)
+    keep = keep & np.isfinite(out["y"]).all(-1) & np.isfinite(out["z"]).all(-1)
+    if prev is None:
+        prev = (np.ones_like(out["x"]), np.zeros_like(out["y"]), np.ones_like(out["z"]))
+    kn = keep[:, None]
+    return (
+        np.where(kn, out["x"], prev[0]),
+        np.where(kn, out["y"], prev[1]),
+        np.where(kn, out["z"], prev[2]),
+    )
 
 
 @register_solver
@@ -71,6 +96,15 @@ class JaxHSDSolver(BaseSolver):
     def _solve_with(self, A, b, c, kernels) -> Solution:
         scan = (self.chunk or self.compact_cap) and getattr(A, "ndim", 2) == 2
         if scan:
+            if self.options.warm_start:
+                import warnings
+
+                warnings.warn(
+                    "warm_start is ignored on the chunked scan path; use "
+                    "scenario_sweep(warm_chain=True) for chunk-to-chunk "
+                    "warm starts, or drop chunk/compact_cap",
+                    stacklevel=3,
+                )
             out = hsd_solve_scan(
                 jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
                 self.options, kernels,
@@ -92,7 +126,7 @@ class JaxHSDSolver(BaseSolver):
             )
         out = {k: np.asarray(out[k]) for k in _SOLUTION_KEYS}
         if self.options.warm_start and not scan:
-            self._warm = (out["x"], out["y"], out["z"])
+            self._warm = _sanitized_warm(out, self._warm)
         return Solution(**out)
 
 

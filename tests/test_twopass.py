@@ -184,13 +184,28 @@ class TestCompactScan:
             np.asarray(sol.objective), np.asarray(ref.objective), rtol=1e-7
         )
 
-    def test_finish_dtype_rejected(self, batch_problem):
+    def test_finish_dtype_on_compact_scan(self, batch_problem):
+        """Compact scan + wide finish stages meet the full 1e-6 contract.
+
+        Stage 1/2 run the narrow f32 sweep; stages 3/4 re-open every
+        lane in the wide dtype and polish to ``opts.tol`` (the
+        configuration that makes the throughput headline honest —
+        BASELINE.md "Correctness" row).
+        """
         from pycllp_tpu.solvers.hsd import hsd_solve_scan
 
         A, b, c = batch_problem
-        opts = SolverOptions(dtype="float32", finish_dtype="float64")
-        with pytest.raises(ValueError, match="finish_dtype"):
-            hsd_solve_scan(A, b, c, opts, compact_cap=6)
+        opts = SolverOptions(
+            tol=1e-7, maxiter=40, dtype="float32", finish_dtype="float64"
+        )
+        ref = hsd_solve_batched(A, b, c, opts.replace(dtype="float64", finish_dtype=None))
+        out = hsd_solve_scan(
+            A, b, c, opts, chunk=16, compact_cap=6, compact_bucket=16, finish_cap=8
+        )
+        assert (np.asarray(out["status"]) == int(Status.OPTIMAL)).all()
+        np.testing.assert_allclose(
+            np.asarray(out["objective"]), np.asarray(ref["objective"]), rtol=1e-6, atol=1e-8
+        )
 
 
 class TestStallRtol:
