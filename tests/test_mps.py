@@ -180,3 +180,194 @@ class TestNetlibFixtures:
             np.testing.assert_allclose(
                 -float(out["objective"][i]), -res.fun, rtol=1e-6, atol=1e-6
             )
+
+
+FIXED_FORMAT = (
+    "* fixed-format MPS: fields at the classic column positions\n"
+    "NAME          FIXEDFMT\n"
+    "ROWS\n"
+    " N  COST\n"
+    " L  LIM1\n"
+    " G  LIM2\n"
+    " E  MYEQN\n"
+    "COLUMNS\n"
+    "    X1        COST         1.0   LIM1         1.0\n"
+    "    X1        LIM2         1.0\n"
+    "    X2        COST         2.0   LIM1         1.0\n"
+    "    X2        MYEQN       -1.0\n"
+    "    X3        COST        -1.0   MYEQN        1.0\n"
+    "RHS\n"
+    "    RHS       LIM1         4.0   LIM2         1.0\n"
+    "    RHS       MYEQN        7.0\n"
+    "BOUNDS\n"
+    " UP BND       X1           4.0\n"
+    " LO BND       X2          -1.0\n"
+    "ENDATA\n"
+)
+
+
+class TestReaderHardening:
+    """Edge-case fixtures covering each branch of the RHS/RANGES/BOUNDS
+    parsers (VERDICT r1 item 7); all literal strings, no network."""
+
+    def test_fixed_format_alignment(self):
+        """Classic fixed-column MPS parses identically to free format."""
+        fixed = read_mps(FIXED_FORMAT).lp
+        free = read_mps(SAMPLE).lp
+        np.testing.assert_allclose(fixed.A, free.A)
+        np.testing.assert_allclose(fixed.c, free.c)
+        np.testing.assert_allclose(fixed.row_lb, free.row_lb)
+        np.testing.assert_allclose(fixed.row_ub, free.row_ub)
+        np.testing.assert_allclose(fixed.lb, free.lb)
+        np.testing.assert_allclose(fixed.ub, free.ub)
+
+    def test_rhs_on_objective_row_sets_constant(self):
+        text = SAMPLE.replace("RHS\n", "RHS\n    RHS  COST  2.5\n")
+        assert read_mps(text).lp.f == -2.5
+
+    def test_rhs_without_set_name(self):
+        text = SAMPLE.replace(
+            "    RHS  LIM1  4.0  LIM2  1.0\n    RHS  MYEQN  7.0\n",
+            "    LIM1  4.0  LIM2  1.0\n    MYEQN  7.0\n",
+        )
+        lp = read_mps(text).lp
+        np.testing.assert_allclose(lp.row_ub, [4.0, np.inf, 7.0])
+        np.testing.assert_allclose(lp.row_lb, [-np.inf, 1.0, 7.0])
+
+    def test_ranges_on_L_G_and_E_rows(self):
+        text = SAMPLE.replace(
+            "BOUNDS\n",
+            "RANGES\n"
+            "    RNG  LIM1  2.0\n"
+            "    RNG  LIM2  -3.0\n"
+            "    RNG  MYEQN  1.5\n"
+            "BOUNDS\n",
+        )
+        lp = read_mps(text).lp
+        # L row: [h-|r|, h]; G row: [h, h+|r|]; E row r>=0: [h, h+r]
+        np.testing.assert_allclose(lp.row_lb, [2.0, 1.0, 7.0])
+        np.testing.assert_allclose(lp.row_ub, [4.0, 4.0, 8.5])
+
+    def test_negative_range_on_E_row(self):
+        text = SAMPLE.replace(
+            "BOUNDS\n", "RANGES\n    RNG  MYEQN  -1.5\nBOUNDS\n"
+        )
+        lp = read_mps(text).lp
+        # E row with r<0: [h+r, h]
+        np.testing.assert_allclose(lp.row_lb[2], 5.5)
+        np.testing.assert_allclose(lp.row_ub[2], 7.0)
+
+    def test_bounds_fr_mi_pl_with_and_without_set_name(self):
+        base = SAMPLE.replace(
+            " UP BND  X1  4.0\n LO BND  X2  -1.0\n",
+            " FR BND  X1\n MI  X2\n PL BND  X3\n",
+        )
+        lp = read_mps(base).lp
+        np.testing.assert_allclose(lp.lb, [-np.inf, -np.inf, 0.0])
+        np.testing.assert_allclose(lp.ub, [np.inf, np.inf, np.inf])
+
+    def test_bounds_bv_and_fx(self):
+        text = SAMPLE.replace(
+            " UP BND  X1  4.0\n LO BND  X2  -1.0\n",
+            " BV BND  X1\n FX BND  X2  1.25\n",
+        )
+        lp = read_mps(text).lp
+        np.testing.assert_allclose(lp.lb[:2], [0.0, 1.25])
+        np.testing.assert_allclose(lp.ub[:2], [1.0, 1.25])
+
+    def test_negative_up_bound_quirk(self):
+        """UP with a negative value and no LO frees the lower bound
+        (classic MPS convention)."""
+        text = SAMPLE.replace(" UP BND  X1  4.0\n", " UP BND  X1  -2.0\n")
+        lp = read_mps(text).lp
+        assert lp.ub[0] == -2.0
+        assert lp.lb[0] == -np.inf
+
+    def test_extra_N_rows_dropped(self):
+        text = SAMPLE.replace(
+            " L  LIM1\n", " L  LIM1\n N  FREEROW\n"
+        ).replace(
+            "    X1  LIM2  1.0\n", "    X1  LIM2  1.0  FREEROW  9.0\n"
+        )
+        prob = read_mps(text)
+        assert "FREEROW" not in prob.row_names
+        np.testing.assert_allclose(prob.lp.A, read_mps(SAMPLE).lp.A)
+
+    def test_comment_and_blank_lines_everywhere(self):
+        lines = SAMPLE.splitlines()
+        noisy = []
+        for ln in lines:
+            noisy.append(ln)
+            noisy.append("* interleaved comment")
+            noisy.append("")
+        lp = read_mps("\n".join(noisy) + "\n").lp
+        np.testing.assert_allclose(lp.A, read_mps(SAMPLE).lp.A)
+
+    def test_missing_objective_raises(self):
+        text = SAMPLE.replace(" N  COST\n", "")
+        with pytest.raises(ValueError, match="no objective"):
+            read_mps(text)
+
+    def test_duplicate_objective_entries_accumulate(self):
+        text = SAMPLE.replace(
+            "    X1  COST  1.0  LIM1  1.0\n",
+            "    X1  COST  0.5  LIM1  1.0\n    X1  COST  0.5\n",
+        )
+        np.testing.assert_allclose(read_mps(text).lp.c[0], 1.0)
+
+
+class TestWriterReaderFuzz:
+    """Randomized writer->reader round-trips (VERDICT r1 item 7): random
+    GeneralLPs with every bound/row pattern must survive serialisation
+    semantically (free rows are dropped by the reader by convention, so
+    comparison filters them)."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_roundtrip_fuzz(self, seed):
+        rng = np.random.default_rng(seed)
+        m, n = int(rng.integers(1, 8)), int(rng.integers(1, 10))
+        A = rng.normal(size=(m, n)) * (rng.random((m, n)) < 0.6)
+        # row bound patterns: L / G / E / range / free
+        row_lb = np.full(m, -np.inf)
+        row_ub = np.full(m, np.inf)
+        for i in range(m):
+            kind = rng.integers(0, 5)
+            h = float(np.round(rng.normal(), 3))
+            if kind == 0:
+                row_ub[i] = h
+            elif kind == 1:
+                row_lb[i] = h
+            elif kind == 2:
+                row_lb[i] = row_ub[i] = h
+            elif kind == 3:
+                row_lb[i], row_ub[i] = h - abs(float(rng.normal())) - 0.1, h
+            # kind 4: free row
+        lb = np.zeros(n)
+        ub = np.full(n, np.inf)
+        for j in range(n):
+            kind = rng.integers(0, 5)
+            v = float(np.round(rng.normal(), 3))
+            if kind == 0:
+                ub[j] = abs(v) + 0.1
+            elif kind == 1:
+                lb[j] = v
+            elif kind == 2:
+                lb[j] = ub[j] = v
+            elif kind == 3:
+                lb[j] = -np.inf
+            # kind 4: default [0, inf)
+        glp = GeneralLP(
+            A=A, row_lb=row_lb, row_ub=row_ub,
+            c=np.round(rng.normal(size=n), 3), lb=lb, ub=ub,
+            f=float(np.round(rng.normal(), 3)),
+            sense="max" if seed % 2 else "min",
+        )
+        back = read_mps(write_mps(glp)).lp
+        keep = ~(np.isinf(row_lb) & np.isinf(row_ub))  # reader drops free rows
+        np.testing.assert_allclose(np.asarray(back.A), A[keep], atol=1e-14)
+        np.testing.assert_allclose(np.asarray(back.row_lb), row_lb[keep])
+        np.testing.assert_allclose(np.asarray(back.row_ub), row_ub[keep])
+        np.testing.assert_allclose(np.asarray(back.c), glp.c, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(back.lb), lb)
+        np.testing.assert_allclose(np.asarray(back.ub), ub)
+        assert back.f == glp.f and back.sense == glp.sense
