@@ -92,11 +92,25 @@ def run(total, chunk, opts, cap, bucket, finish_cap, label):
 if __name__ == "__main__":
     total = int(os.environ.get("T", 16384))
     chunk = int(os.environ.get("CHUNK", 16384))
-    # contract config: tol 1e-6, f32 bulk + f64 finish via mixed kernels
+    fcap = int(os.environ.get("FCAP", 3))
+    fmax = int(os.environ.get("FMAX", 20))
+    patience = int(os.environ.get("PAT", 3))
+    gondzio = int(os.environ.get("GONDZIO", 0))
+    fast = os.environ.get("DF_FAST", "0") != "0"
+    bucket = int(os.environ.get("BUCKET", 5120))
+    if fast:
+        from pycllp_tpu.ops.batchlast import BatchLastKernels
+        from pycllp_tpu.ops.df64 import DF64_FASTFORM_KERNELS
+
+        kset = BatchLastKernels()
+        kset._finish_kernels = DF64_FASTFORM_KERNELS
+        globals()["BATCHLAST_KERNELS"] = kset
+    # contract config: tol 1e-6, f32 bulk + df64 finish (ops/df64.py)
     base = SolverOptions(
         tol=1e-6, maxiter=40, dtype="float32",
-        stall_patience=3, stall_rtol=0.05, refine_steps=0,
+        stall_patience=patience, stall_rtol=0.05, refine_steps=0,
         init_point="mehrotra", finish_dtype="float64",
-        switch_tol=1e-5, finish_maxiter=20,
+        switch_tol=1e-5, finish_maxiter=fmax, finish_gondzio=gondzio,
     )
-    run(total, chunk, base, cap=12, bucket=5120, finish_cap=6, label="contract")
+    run(total, chunk, base, cap=12, bucket=bucket, finish_cap=fcap,
+        label=f"contract fcap={fcap} gz={gondzio} fast={int(fast)}")

@@ -386,18 +386,21 @@ class BatchLastKernels(KernelSet):
         return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
 
     def finish_kernels(self) -> KernelSet:
-        """Mixed-precision finish: f32 Pallas factors + f64 refinement.
+        """Double-single finish: df64 Pallas factors + f64 residuals.
 
         The f64 finish phase would otherwise fall back to XLA's emulated
-        f64 (matmul ~65x slower than f32 on v5e); the mixed set keeps all
-        O(m³) work in these Pallas kernels and pays f64 only for O(m·n)
-        residual matvecs.  See :mod:`pycllp_tpu.ops.mixed`.
+        f64 (matmul ~65x slower than f32 on v5e).  The earlier
+        f32-factor + iterative-refinement design (ops/mixed.py) cannot
+        reach the 1e-6 contract — its f32 PSD-safety shift makes IR
+        stagnate at ~3e-4 (measured, exp_finish_debug2) — so the finish
+        runs genuinely wider factorizations in double-single arithmetic
+        on the VPU.  See :mod:`pycllp_tpu.ops.df64`.
         """
         fk = getattr(self, "_finish_kernels", None)
         if fk is None:
-            from pycllp_tpu.ops.mixed import MixedPrecisionKernels
+            from pycllp_tpu.ops.df64 import DF64_FINISH_KERNELS
 
-            fk = self._finish_kernels = MixedPrecisionKernels(self)
+            fk = self._finish_kernels = DF64_FINISH_KERNELS
         return fk
 
     def factor_and_solve(self, ctx, d, reg_eps, rs):

@@ -1,0 +1,437 @@
+"""Double-single ("df64") Pallas kernels: ~48-bit factorizations on the VPU.
+
+The finish-phase engine behind the 1e-6 correctness contract (upstream
+contract: pycllp's default 1e-6 relative optimality tolerance on its
+test LP set; reference mount empty this build — SURVEY.md §0,
+BASELINE.md "Correctness" row).
+
+Why this exists — measured on this chip (experiments/exp_finish_debug2,
+2026-08-19):
+
+* a pure-f64 IPM meets the contract (max 9.3e-7 vs scipy) but XLA's
+  emulated f64 matmul runs ~65x slower than f32 — a straight f64 finish
+  erases the batched-throughput win;
+* the f32-factor + f64-iterative-refinement design (ops/mixed.py)
+  CANNOT reach 1e-6: the f32 factor needs a PSD-safety shift
+  δ_lo ≈ 2e-6·max(diag), the late-IPM normal matrix has λ_min ≪ δ_lo,
+  and stationary IR's contraction ‖I − P⁻¹M̂‖ ≈ δ_lo/(λ_min+δ_lo) → 1;
+  measured floor 3.1e-4 — two decades short.
+
+The TPU-native fix: carry every number as an UNEVALUATED SUM of two
+f32s (Dekker/Knuth "double-single", ~49-bit effective mantissa) and run
+the batch-lane Cholesky and triangular substitutions directly in that
+arithmetic on the VPU.  The f32 batch-lane kernels are latency-bound at
+a few % of VPU throughput (docs/PERFORMANCE.md "Cholesky kernel
+variants"), so the ~18x arithmetic of df64 costs far less than 18x
+wall-clock — and no MXU/f64-emulation is involved at all.
+
+Precision budget: u_df ≈ 2⁻⁴⁹ ≈ 1.8e-15, vs f64's 1.1e-16 — an 8x
+coarser unit, plenty below the 1e-6 contract with the usual
+cond(M+δI) ≲ 1/δ_rel = 1e12 late-IPM conditioning.
+
+Algorithms are the classic error-free transformations (Dekker 1971,
+Knuth TAOCP v2) as packaged in the QD/ddfun libraries; f32 split factor
+2¹²+1 (24-bit mantissa → 12+12).  Correctness relies only on IEEE f32
++,−,× with round-to-nearest, which the TPU VPU provides; compilers may
+contract a·b−p into an FMA, which makes the product error EXACT rather
+than Dekker-approximated — both are correct.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pycllp_tpu.ops.reference import KernelSet
+
+__all__ = ["DoubleSingleKernels", "DF64_FINISH_KERNELS", "DF64_FASTFORM_KERNELS"]
+
+LANES = 128
+_SPLIT = 4097.0  # 2**12 + 1 for f32 Dekker splitting
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# error-free transformations on f32 arrays; a df64 value is a (hi, lo) tuple
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _fast_two_sum(a, b):
+    """Requires |a| >= |b| (guaranteed at every call site below)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _two_prod(a, b):
+    p = a * b
+    ta = a * _SPLIT
+    ahi = ta - (ta - a)
+    alo = a - ahi
+    tb = b * _SPLIT
+    bhi = tb - (tb - b)
+    blo = b - bhi
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def df_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    return _fast_two_sum(s, e + (x[1] + y[1]))
+
+
+def df_sub(x, y):
+    return df_add(x, (-y[0], -y[1]))
+
+
+def df_mul(x, y):
+    p, e = _two_prod(x[0], y[0])
+    return _fast_two_sum(p, e + (x[0] * y[1] + x[1] * y[0]))
+
+
+def df_div(x, y):
+    """Two-correction division (full df64 accuracy)."""
+    q1 = x[0] / y[0]
+    r = df_sub(x, df_mul((q1, jnp.zeros_like(q1)), y))
+    q2 = r[0] / y[0]
+    r2 = df_sub(r, df_mul((q2, jnp.zeros_like(q2)), y))
+    q3 = r2[0] / y[0]
+    s, e = _fast_two_sum(q1, q2)
+    return _fast_two_sum(s, e + q3)
+
+
+def df_sqrt(x):
+    """Karp's trick: f32 estimate + one df-corrected Newton step."""
+    s1 = jnp.sqrt(x[0])
+    z = jnp.zeros_like(s1)
+    r = df_sub(x, df_mul((s1, z), (s1, z)))
+    return _fast_two_sum(s1, r[0] / (2.0 * s1))
+
+
+def _df_where(pred, x, y):
+    return jnp.where(pred, x[0], y[0]), jnp.where(pred, x[1], y[1])
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (batch-last: instances on the lane axis, as ops/batchlast)
+# ---------------------------------------------------------------------------
+
+
+def _df_chol_kernel(mh_ref, ml_ref, reg_ref, lh_ref, ll_ref, dh_ref, dl_ref, *, m: int):
+    """In-place df64 batch-lane Cholesky of the (m, m, LANES) hi/lo pair.
+
+    Same right-looking column sweep as the f32 kernel
+    (ops/batchlast._chol_body) — row access only — with every operation
+    in double-single arithmetic.  δ (per-lane f32 ``reg``) is added at
+    each diagonal's single read; non-PSD lanes turn NaN and are caught
+    by the solver's numerical guard.
+    """
+    lh_ref[:] = mh_ref[:]
+    ll_ref[:] = ml_ref[:]
+    reg = reg_ref[0, :]
+    zreg = jnp.zeros_like(reg)
+    nan = jnp.asarray(jnp.nan, lh_ref.dtype)
+    one = jnp.ones_like(reg)
+    for k in range(m):
+        akk = df_add((lh_ref[k, k, :], ll_ref[k, k, :]), (reg, zreg))
+        pos = akk[0] > 0
+        akk = _df_where(pos, akk, (one, zreg))
+        sq = df_sqrt(akk)
+        inv = df_div((one, zreg), sq)
+        lh_ref[k, k, :] = jnp.where(pos, sq[0], nan)
+        ll_ref[k, k, :] = jnp.where(pos, sq[1], 0.0)
+        dh_ref[k, :] = jnp.where(pos, inv[0], nan)
+        dl_ref[k, :] = jnp.where(pos, inv[1], 0.0)
+        if k + 1 < m:
+            col = df_mul(
+                (lh_ref[k + 1 :, k, :], ll_ref[k + 1 :, k, :]),
+                (inv[0][None, :], inv[1][None, :]),
+            )
+            lh_ref[k + 1 :, k, :] = col[0]
+            ll_ref[k + 1 :, k, :] = col[1]
+            upd = df_mul(
+                (col[0][:, None, :], col[1][:, None, :]),
+                (col[0][None, :, :], col[1][None, :, :]),
+            )
+            tr = df_sub((lh_ref[k + 1 :, k + 1 :, :], ll_ref[k + 1 :, k + 1 :, :]), upd)
+            lh_ref[k + 1 :, k + 1 :, :] = tr[0]
+            ll_ref[k + 1 :, k + 1 :, :] = tr[1]
+
+
+def _df_row_mask(i: int, m: int, dtype):
+    """(1, m, 1) compile-time-constant mask selecting columns < i."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+    return (col < i).astype(dtype)
+
+
+def _df_tree_sum_cols(hi, lo):
+    """df64 sum over axis 1 of a (k, p, LANES) pair, any p ≥ 1.
+
+    Pairwise tree over the largest power-of-two prefix (halving slices
+    stay exactly aligned — a naive odd-width halving broadcasts 1-vs-2
+    and double-counts), then recurse on the remainder and fold it in.
+    """
+    p = hi.shape[1]
+    p2 = 1 << (p.bit_length() - 1)  # largest power of two <= p
+    h, l = hi[:, :p2], lo[:, :p2]
+    while h.shape[1] > 1:
+        q = h.shape[1] // 2
+        h, l = df_add((h[:, :q], l[:, :q]), (h[:, q:], l[:, q:]))
+    acc = (h[:, 0], l[:, 0])
+    if p > p2:
+        acc = df_add(acc, _df_tree_sum_cols(hi[:, p2:], lo[:, p2:]))
+    return acc
+
+
+def _df_solve_kernel(
+    lh_ref, ll_ref, dh_ref, dl_ref, rh_ref, rl_ref, vh_ref, vl_ref, *, m: int, k_rhs: int
+):
+    """Solve L Lᵀ v = r in df64 for k_rhs stacked RHS, batch-lane layout.
+
+    Row access only (column slices of an (m, m, LANES) block sublane-
+    gather ~20x slower — docs/PERFORMANCE.md): the forward pass is
+    left-looking with the dot against row ``L[i, :i]`` done as a MASKED
+    full-width df64 product + pairwise tree reduction — the mask is a
+    compile-time constant per row, so every row has identical shapes
+    (a triangular-sliced variant generated per-row-shaped code whose
+    compile payload exceeded the remote-compile tunnel's request limit);
+    the backward pass is right-looking with row updates, no reductions.
+    """
+    vh_ref[:] = rh_ref[:]
+    vl_ref[:] = rl_ref[:]
+    # forward: w[i] = (r[i] − L[i,:i]·w[:i]) · dinv[i]
+    for i in range(m):
+        di = (dh_ref[i, :][None, :], dl_ref[i, :][None, :])
+        wi = (vh_ref[:, i, :], vl_ref[:, i, :])
+        if i > 0:
+            mask = _df_row_mask(i, m, lh_ref.dtype)
+            row = (lh_ref[i, :, :][None, :, :] * mask, ll_ref[i, :, :][None, :, :] * mask)
+            terms = df_mul(row, (vh_ref[:], vl_ref[:]))
+            acc = _df_tree_sum_cols(*terms)
+            wi = df_sub(wi, acc)
+        wi = df_mul(wi, di)
+        vh_ref[:, i, :] = wi[0]
+        vl_ref[:, i, :] = wi[1]
+    # backward: v[i] = w[i]·dinv[i]; w[:i] −= L[i,:i]·v[i]
+    for i in reversed(range(m)):
+        di = (dh_ref[i, :][None, :], dl_ref[i, :][None, :])
+        vi = df_mul((vh_ref[:, i, :], vl_ref[:, i, :]), di)
+        vh_ref[:, i, :] = vi[0]
+        vl_ref[:, i, :] = vi[1]
+        if i > 0:
+            row = (lh_ref[i, :i, :][None, :, :], ll_ref[i, :i, :][None, :, :])
+            upd = df_mul(row, (vi[0][:, None, :], vi[1][:, None, :]))
+            tr = df_sub((vh_ref[:, :i, :], vl_ref[:, :i, :]), upd)
+            vh_ref[:, :i, :] = tr[0]
+            vl_ref[:, :i, :] = tr[1]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _z(i):
+    return i - i  # x64-safe index-map zero (see ops/batchlast._z)
+
+
+def _df_specs(m, k_rhs=None):
+    l_spec = pl.BlockSpec((m, m, LANES), lambda i: (_z(i), _z(i), i), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((m, LANES), lambda i: (_z(i), i), memory_space=pltpu.VMEM)
+    reg_spec = pl.BlockSpec((1, LANES), lambda i: (_z(i), i), memory_space=pltpu.VMEM)
+    rhs_spec = None
+    if k_rhs is not None:
+        rhs_spec = pl.BlockSpec(
+            (k_rhs, m, LANES), lambda i: (_z(i), _z(i), i), memory_space=pltpu.VMEM
+        )
+    return l_spec, d_spec, reg_spec, rhs_spec
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _df_chol_bl(Mh, Ml, reg, *, m: int):
+    """(m, m, B) hi/lo + (B,) reg → (L_hi, L_lo, dinv_hi, dinv_lo)."""
+    B = Mh.shape[-1]
+    l_spec, d_spec, reg_spec, _ = _df_specs(m)
+    return pl.pallas_call(
+        functools.partial(_df_chol_kernel, m=m),
+        grid=(B // LANES,),
+        in_specs=[l_spec, l_spec, reg_spec],
+        out_specs=[l_spec, l_spec, d_spec, d_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m, B), jnp.float32),
+            jax.ShapeDtypeStruct((m, m, B), jnp.float32),
+            jax.ShapeDtypeStruct((m, B), jnp.float32),
+            jax.ShapeDtypeStruct((m, B), jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=_interpret(),
+        # the hi/lo pairs double the block windows of the f32 kernel:
+        # 4 x (m, m, LANES) double-buffered busts Mosaic's default 16MB
+        # scoped-vmem budget at m=64 (measured: over by 128K); v5e has
+        # physical headroom above the default, so raise the cap.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * (m**3) * B,  # ~36 f32 ops per df mul-add pair
+            bytes_accessed=4 * m * m * B * 4,
+            transcendentals=m * B,
+        ),
+    )(Mh, Ml, reg[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k_rhs"))
+def _df_solve_bl(Lh, Ll, Dh, Dl, Rh, Rl, *, m: int, k_rhs: int):
+    B = Lh.shape[-1]
+    l_spec, d_spec, _, rhs_spec = _df_specs(m, k_rhs)
+    return pl.pallas_call(
+        functools.partial(_df_solve_kernel, m=m, k_rhs=k_rhs),
+        grid=(B // LANES,),
+        in_specs=[l_spec, l_spec, d_spec, d_spec, rhs_spec, rhs_spec],
+        out_specs=[rhs_spec, rhs_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_rhs, m, B), jnp.float32),
+            jax.ShapeDtypeStruct((k_rhs, m, B), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * k_rhs * m * m * B,
+            bytes_accessed=(2 * m * m * B + 4 * k_rhs * m * B) * 4,
+            transcendentals=0,
+        ),
+    )(Lh, Ll, Dh, Dl, Rh, Rl)
+
+
+def _pad_lanes(arr, B):
+    Bp = -(-B // LANES) * LANES
+    if Bp == B:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, Bp - B)]
+    return jnp.pad(arr, pad, constant_values=1.0)
+
+
+def _split_hi_lo(x64):
+    """f64 array → (hi, lo) f32 pair with hi + lo == x64 to ~2⁻⁴⁸."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(x64.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# KernelSet implementation (f64 public interface)
+# ---------------------------------------------------------------------------
+
+
+class PreparedDF(typing.NamedTuple):
+    A: typing.Any  # (m, n) or (B, m, n) f64
+    Asq: typing.Any
+    W: typing.Any  # (m², n) f64 self-outer-product, or None for 3-D A
+    Wh: typing.Any  # f32 hi/lo split of W (fast-formation GEMM inputs)
+    Wl: typing.Any
+
+
+class DFFactor(typing.NamedTuple):
+    ctx: PreparedDF
+    Lh: typing.Any
+    Ll: typing.Any
+    dinv_h: typing.Any
+    dinv_l: typing.Any
+    d: typing.Any
+    reg: typing.Any
+
+
+class DoubleSingleKernels(KernelSet):
+    """f64-interface kernel set whose O(m³) work runs in df64 Pallas.
+
+    Used as the finish-phase sibling of the f32 batch-last kernels:
+    matvecs/residuals stay f64 (elementwise-emulated, cheap at O(m·n)),
+    the normal-matrix factorization and triangular solves run in
+    double-single arithmetic on the VPU.  The normal matrix itself is
+    formed by an XLA f64 einsum (O(m²·n·B), ~7 ms per 16K-lane 64²
+    chunk on v5e) and split hi/lo for the kernel.
+    """
+
+    name = "pallas_df64"
+
+    def __init__(self, fast_form: bool = False):
+        # fast_form: form M with THREE f32 MXU GEMMs on hi/lo-split
+        # inputs (f64 combine) instead of XLA's emulated-f64 GEMM.
+        # The emulated GEMM was measured at 102 ms per 16K-lane 64²
+        # formation on v5e (experiments/exp_df64.py, 2026-08-19) — the
+        # single biggest wide-phase cost; the split-GEMM variant costs
+        # ~3 f32 GEMMs (~1 ms class) at ~f32-accumulation accuracy
+        # (~n·ε₃₂ relative on M, vs ~2⁻⁴⁸ for the emulated GEMM).
+        self.fast_form = fast_form
+        if fast_form:
+            self.name = "pallas_df64_fastform"
+
+    def prepare(self, A):
+        A = jnp.asarray(A, jnp.float64)
+        if A.ndim != 2:
+            return PreparedDF(A=A, Asq=A * A, W=None, Wh=None, Wl=None)
+        m, n = A.shape
+        W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
+        Wh, Wl = _split_hi_lo(W)
+        return PreparedDF(A=A, Asq=A * A, W=W, Wh=Wh, Wl=Wl)
+
+    def mv(self, ctx, x):
+        return jnp.einsum("...mn,...n->...m", ctx.A, x)
+
+    def rmv(self, ctx, y):
+        return jnp.einsum("...mn,...m->...n", ctx.A, y)
+
+    def factor(self, ctx, d, reg_eps):
+        if not isinstance(ctx, PreparedDF):
+            ctx = self.prepare(ctx.A)
+        d = d.astype(jnp.float64)
+        m = ctx.A.shape[-2]
+        B = d.shape[0]
+        diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
+        reg = reg_eps * jnp.max(diag, axis=-1)
+        if ctx.W is None:
+            M = jnp.moveaxis(jnp.einsum("bmn,bn,bkn->bmk", ctx.A, d, ctx.A), 0, -1)
+            Mh, Ml = _split_hi_lo(_pad_lanes(M, B))
+        elif self.fast_form:
+            dh, dl = _split_hi_lo(d.T)
+            P = ctx.Wh @ dh  # f32 MXU (highest-precision passes)
+            Q = ctx.Wh @ dl + ctx.Wl @ dh
+            Mh, Ml = _split_hi_lo(
+                _pad_lanes(
+                    (P.astype(jnp.float64) + Q.astype(jnp.float64)).reshape(m, m, -1),
+                    B,
+                )
+            )
+        else:
+            M = (ctx.W @ d.T).reshape(m, m, -1)  # batch-last directly
+            Mh, Ml = _split_hi_lo(_pad_lanes(M, B))
+        regp = _pad_lanes(reg.astype(jnp.float32), B)
+        Lh, Ll, Dh, Dl = _df_chol_bl(Mh, Ml, regp, m=m)
+        return DFFactor(ctx=ctx, Lh=Lh, Ll=Ll, dinv_h=Dh, dinv_l=Dl, d=d, reg=reg)
+
+    def solve(self, fac, rs):
+        m = fac.Lh.shape[0]
+        B = rs[0].shape[0]
+        R = jnp.stack([r.T for r in rs], axis=0)  # (k, m, B) f64
+        Rh, Rl = _split_hi_lo(_pad_lanes(R, B))
+        Vh, Vl = _df_solve_bl(
+            fac.Lh, fac.Ll, fac.dinv_h, fac.dinv_l, Rh, Rl, m=m, k_rhs=len(rs)
+        )
+        V = Vh.astype(jnp.float64) + Vl.astype(jnp.float64)
+        return tuple(V[i, :, :B].T for i in range(len(rs)))
+
+
+DF64_FINISH_KERNELS = DoubleSingleKernels()
+DF64_FASTFORM_KERNELS = DoubleSingleKernels(fast_form=True)

@@ -474,6 +474,32 @@ def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
     return x, y, z, tau, kappa, status, ind
 
 
+def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
+    """Replace each lane's CURRENT iterate with its tracked best where the
+    best scores strictly better.
+
+    Used before a finish phase re-opens lanes: at the f32 stall floor the
+    last iterate can be far worse than the best one seen (that is the
+    whole point of best-iterate tracking), and the wide phase resets the
+    best trackers — continuing from the raw last iterate was measured to
+    make the finish phase REGRESS accuracy (6.9e-3 vs 2.7e-4 max on the
+    64² bench, 2026-08-19).
+    """
+    rp, rd, rg, mu = _residuals(ctx, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
+    by = jnp.sum(b * s.y, axis=-1)
+    ind = _indicators(rp, rd, rg, mu, s.tau, s.kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
+    score = jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
+    use_best = ~jnp.isfinite(score) | (s.best_score < score)
+    ubn = use_best[..., None]
+    return s._replace(
+        x=jnp.where(ubn, s.best_x, s.x),
+        y=jnp.where(ubn, s.best_y, s.y),
+        z=jnp.where(ubn, s.best_z, s.z),
+        tau=jnp.where(use_best, s.best_tau, s.tau),
+        kappa=jnp.where(use_best, s.best_kappa, s.kappa),
+    )
+
+
 def _mehrotra_start(ctx, b, c, kset: KernelSet, reg_eps):
     """Mehrotra's least-squares starting point, HSD-adapted.
 
@@ -710,6 +736,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         fdtype = jnp.dtype(opts.finish_dtype)
         fkset = kset.finish_kernels()
         A_f, b_f, c_f = A_sw, b_sw, c_sw
+        state = _fold_to_best(ctx, b_s, c_s, state, kset)
         ctx = fkset.prepare(A_f)
         state = _cast_state(state, fdtype)
         reopen = (state.status != jnp.int32(int(Status.NUMERICAL)))
@@ -718,12 +745,17 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             best_score=jnp.full_like(state.best_score, jnp.finfo(fdtype).max),
             best_k=jnp.full_like(state.best_k, state.k),
         )
+        wopts = opts.replace(
+            stall_patience=opts.finish_patience,
+            stall_rtol=0.0,
+            gondzio_correctors=opts.finish_gondzio,
+        )
         state = _run_phase(
             ctx,
             b_f,
             c_f,
             state,
-            opts,
+            wopts,
             fkset,
             fdtype,
             opts.tol,
@@ -741,12 +773,53 @@ def hsd_solve(A, b, c, opts: SolverOptions = SolverOptions(), kset: KernelSet = 
     return {k: v[0] for k, v in out.items()}
 
 
-@partial(jax.jit, static_argnames=("opts", "kset", "keys"))
-def _hsd_scan_core(A, b3, c3, opts, kset, keys):
-    def f(_, bc):
-        out = hsd_solve_batched(A, bc[0], bc[1], opts, kset)
-        return None, tuple(out[k] for k in keys)
-    _, res = lax.scan(f, None, (b3, c3))
+def _sanitize_carry(x, y, z, ok, cap=1e6):
+    """Per-lane warm-carry sanitizer: non-finite / not-ok lanes fall back
+    to the blind start, finite ones are clipped (τ→0 lanes blow up)."""
+    fin = (
+        ok
+        & jnp.all(jnp.isfinite(x), -1)
+        & jnp.all(jnp.isfinite(y), -1)
+        & jnp.all(jnp.isfinite(z), -1)
+    )
+    fn = fin[..., None]
+    return (
+        jnp.where(fn, jnp.clip(x, 0.0, cap), 1.0),
+        jnp.where(fn, jnp.clip(y, -cap, cap), 0.0),
+        jnp.where(fn, jnp.clip(z, 0.0, cap), 1.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("opts", "kset", "keys", "warm_chain"))
+def _hsd_scan_core(A, b3, c3, opts, kset, keys, warm_chain=False):
+    if not warm_chain:
+        def f(_, bc):
+            out = hsd_solve_batched(A, bc[0], bc[1], opts, kset)
+            return None, tuple(out[k] for k in keys)
+        _, res = lax.scan(f, None, (b3, c3))
+        return res
+
+    # warm chain: chunk k+1's lane j starts from chunk k's lane-j solution
+    # (the pywr init-once / re-solve pattern: the chunk axis is the time /
+    # correlation axis, lanes are scenarios).  Chunk 0 runs from the blind
+    # start (the warm path overrides opts.init_point).
+    def f(carry, bc):
+        out = hsd_solve_batched(A, bc[0], bc[1], opts, kset, warm=carry)
+        ok = (out["status"] == jnp.int32(int(Status.OPTIMAL))) | (
+            out["status"] == jnp.int32(int(Status.STALLED))
+        ) | (out["status"] == jnp.int32(int(Status.ITERATION_LIMIT)))
+        carry = _sanitize_carry(out["x"], out["y"], out["z"], ok)
+        return carry, tuple(out[k] for k in keys)
+
+    dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b3, c3)
+    B, m = b3.shape[1], b3.shape[2]
+    n = c3.shape[2]
+    carry0 = (
+        jnp.ones((B, n), dtype),
+        jnp.zeros((B, m), dtype),
+        jnp.ones((B, n), dtype),
+    )
+    _, res = lax.scan(f, carry0, (b3, c3))
     return res
 
 
@@ -762,6 +835,11 @@ def _compact_resume(ctx, b_sf, c_sf, sflat, opts, kset, dtype, tol, maxiter, buc
     idx = jnp.argsort(~unfinished)[:bucket]
     take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
     state2 = HSDState(*[take(v) for v in sflat])
+    # restart the stall clock at the resume point: gathered lanes carry a
+    # best_k from their own (earlier) clock, and the shared scalar k may
+    # have jumped far past it — without the reset a resumed lane can be
+    # declared STALLED before taking a single step.
+    state2 = state2._replace(best_k=jnp.full_like(state2.best_k, state2.k))
     state2 = _run_phase(
         ctx, b_sf[idx], c_sf[idx], state2, opts, kset, dtype, tol, maxiter, jnp.any
     )
@@ -777,8 +855,8 @@ def _compact_resume(ctx, b_sf, c_sf, sflat, opts, kset, dtype, tol, maxiter, buc
     return HSDState(**merged)
 
 
-@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "finish_cap"))
-def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap):
+@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "finish_cap", "warm_chain"))
+def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap, warm_chain=False):
     """Fused cap → compact → warm-resume sweep, all ONE device program.
 
     A chunk's masked while_loop runs to its SLOWEST lane, so chunk cost
@@ -825,17 +903,48 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap)
         phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
 
         # ---- stage 1: scanned, capped narrow chunks ----
-        def f(_, bc):
-            b_s, c_s = bc
-            state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
-            state = _run_phase(
-                ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, cap, jnp.any
-            )
-            return None, state
+        if warm_chain:
+            # chunk k+1 lane j warm-starts from chunk k lane j's (scaled)
+            # interior point — the pywr re-solve pattern; mid-flight
+            # (capped) points are still useful warm starts and are
+            # interiorized by _fresh_state either way.
+            def f(carry, bc):
+                b_s, c_s = bc
+                state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype, warm=carry)
+                state = _run_phase(
+                    ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, cap, jnp.any
+                )
+                tau_safe = jnp.maximum(
+                    state.tau, jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+                )
+                carry = _sanitize_carry(
+                    state.x / tau_safe[..., None],
+                    state.y / tau_safe[..., None],
+                    state.z / tau_safe[..., None],
+                    state.status != jnp.int32(int(Status.NUMERICAL)),
+                )
+                return carry, state
 
-        _, states = lax.scan(
-            f, None, (b_sf.reshape(K, chunk, m), c_sf.reshape(K, chunk, n))
-        )
+            carry0 = (
+                jnp.ones((chunk, n), dtype),
+                jnp.zeros((chunk, m), dtype),
+                jnp.ones((chunk, n), dtype),
+            )
+            _, states = lax.scan(
+                f, carry0, (b_sf.reshape(K, chunk, m), c_sf.reshape(K, chunk, n))
+            )
+        else:
+            def f(_, bc):
+                b_s, c_s = bc
+                state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
+                state = _run_phase(
+                    ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, cap, jnp.any
+                )
+                return None, state
+
+            _, states = lax.scan(
+                f, None, (b_sf.reshape(K, chunk, m), c_sf.reshape(K, chunk, n))
+            )
         # flatten per-lane state fields over (K, chunk) → (N,); the loop
         # counter k is per-chunk — any still-RUNNING lane's chunk ran to
         # exactly `cap` (an early-exiting chunk has no running lanes), so
@@ -861,6 +970,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap)
         # ---- stage 3: wide finish over ALL lanes, scanned per chunk ----
         fkset = kset.finish_kernels()
         fctx = fkset.prepare(A_sw)
+        sflat = _fold_to_best(ctx, b_sf, c_sf, sflat, kset)
         sflat = _cast_state(sflat, wide)
         reopen = sflat.status != jnp.int32(int(Status.NUMERICAL))
         sflat = sflat._replace(
@@ -875,11 +985,17 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap)
             if f_ != "k"
         }
 
+        wopts = opts.replace(
+            stall_patience=opts.finish_patience,
+            stall_rtol=0.0,
+            gondzio_correctors=opts.finish_gondzio,
+        )
+
         def g(_, xs):
             st_fields, b_s, c_s = xs
             st = HSDState(k=jnp.int32(0), **st_fields)
             st = _run_phase(
-                fctx, b_s, c_s, st, opts, fkset, wide, opts.tol, finish_cap, jnp.any
+                fctx, b_s, c_s, st, wopts, fkset, wide, opts.tol, finish_cap, jnp.any
             )
             return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
 
@@ -893,11 +1009,17 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap)
             **{f_: v.reshape(N, *v.shape[2:]) for f_, v in fdict.items()},
         )
 
-        # ---- stage 4: compact the wide finish tail, resume ----
-        sflat = _compact_resume(
-            fctx, b_sfw, c_sfw, sflat, opts, fkset, wide, opts.tol,
-            finish_cap + opts.finish_maxiter, bucket,
-        )
+        # ---- stage 4: compact the wide finish tail, resume (TWO rounds:
+        # a tail larger than the bucket overflows round 1 — those lanes
+        # stay RUNNING and round 2 gathers them; measured 2,913 overflow
+        # lanes answering at 1e-4 with a single round, 2026-08-19) ----
+        # the shared scalar loop-clock k advances across rounds, so each
+        # round's budget must extend past the previous round's endpoint
+        for r in range(2):
+            sflat = _compact_resume(
+                fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
+                finish_cap + (r + 1) * opts.finish_maxiter, bucket,
+            )
         outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
         return tuple(outs[k] for k in keys)
 
@@ -914,6 +1036,7 @@ def hsd_solve_scan(
     compact_cap: int | None = None,
     compact_bucket: int = 8192,
     finish_cap: int = 6,
+    warm_chain: bool = False,
 ):
     """Chunked batched solve as ONE device program (``lax.scan`` over chunks).
 
@@ -947,6 +1070,12 @@ def hsd_solve_scan(
     polish of EVERY lane to the full ``opts.tol`` (``finish_cap``-capped
     scanned chunks + one compacted tail resume) — the configuration that
     meets the 1e-6 contract at batched-f32 throughput.
+
+    ``warm_chain``: chunk k+1's lane j warm-starts from chunk k's lane-j
+    solution (sanitized per lane), for correlated scenario streams where
+    the chunk axis is the time/correlation axis — the upstream pywr
+    init-once/re-solve pattern at scale.  Chunk 0 runs from the blind
+    start (overrides ``opts.init_point`` on the warm path).
     """
     if getattr(A, "ndim", 2) != 2:
         raise ValueError("hsd_solve_scan requires shared 2-D A")
@@ -965,10 +1094,10 @@ def hsd_solve_scan(
         res = _hsd_scan_compact_core(
             A, b3, c3, opts, kset, tuple(keys),
             int(compact_cap), min(int(compact_bucket), K * chunk),
-            int(finish_cap),
+            int(finish_cap), bool(warm_chain),
         )
         return {k: v[:N] for k, v in zip(keys, res)}
-    res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys))
+    res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys), bool(warm_chain))
     return {
         k: v.reshape(K * chunk, *v.shape[2:])[:N] for k, v in zip(keys, res)
     }

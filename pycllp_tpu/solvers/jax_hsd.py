@@ -96,21 +96,17 @@ class JaxHSDSolver(BaseSolver):
     def _solve_with(self, A, b, c, kernels) -> Solution:
         scan = (self.chunk or self.compact_cap) and getattr(A, "ndim", 2) == 2
         if scan:
-            if self.options.warm_start:
-                import warnings
-
-                warnings.warn(
-                    "warm_start is ignored on the chunked scan path; use "
-                    "scenario_sweep(warm_chain=True) for chunk-to-chunk "
-                    "warm starts, or drop chunk/compact_cap",
-                    stacklevel=3,
-                )
+            # warm_start on the scan path means chunk-to-chunk warm
+            # chaining WITHIN the batch (the chunk axis is the stream's
+            # correlation axis); solve-to-solve caching stays off — each
+            # scan solve is its own chain.
             out = hsd_solve_scan(
                 jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
                 self.options, kernels,
                 chunk=self.chunk or b.shape[0], keys=_SOLUTION_KEYS,
                 compact_cap=self.compact_cap,
                 compact_bucket=self.compact_bucket,
+                warm_chain=self.options.warm_start,
             )
         else:
             warm = None

@@ -105,6 +105,14 @@ class SolverOptions:
     finish_dtype: str | None = None
     finish_maxiter: int = 20
     switch_tol: float = 1e-3
+    finish_patience: int = 8  # stall clock for the wide finish phase
+    # (stall_rtol is reset to 0 there): the narrow phase's aggressive
+    # clock is tuned for the f32 indicator floor; wide solves make real
+    # progress every iteration and must not be frozen early.
+    finish_gondzio: int = 0  # Gondzio centrality correctors in the wide
+    # phase only.  Wide factorizations are the expensive resource (df64
+    # Pallas + f64 formation); extra corrector SOLVES through the same
+    # factorization cut the wide iteration count ~30-40%.
     log_every: int = 0  # emit structured per-iteration metrics every k
     # iterations (0 = off); see pycllp_tpu.utils.logging
     init_point: str = "ones"  # "ones" (blind HSD start) or "mehrotra"
@@ -114,6 +122,8 @@ class SolverOptions:
     # solution as the starting point for the next solve on the same
     # structure (the upstream init-once / re-solve sweep pattern).  See
     # ``hsd_solve_batched(..., warm=)`` for the underlying mechanism.
+    # On the chunked scan path this enables chunk-to-chunk warm chaining
+    # instead (``hsd_solve_scan(..., warm_chain=True)``).
     warm_lambda: float = 0.05  # interiorization blend for a warm start:
     # the supplied point is pulled this fraction of the way toward the
     # well-centered blind start (x=z=1 on scaled data), then floored

@@ -57,6 +57,7 @@ def scenario_sweep(
     window_chunks: int = 8,
     compact_cap: int | None = None,
     compact_bucket: int = 8192,
+    warm_chain: bool = False,
 ) -> SweepResult:
     """Solve N scenarios (shared A, batched b/c) in chunks.
 
@@ -73,6 +74,11 @@ def scenario_sweep(
     chunk stays the persist/resume unit; a window containing any
     missing chunk is re-solved whole and only its missing chunks are
     written (an LP re-solve is deterministic and cheap — SURVEY.md §5).
+
+    ``warm_chain``: chunk-to-chunk warm starts within each window for
+    correlated scenario streams (see :func:`hsd_solve_scan`); the chain
+    restarts at window boundaries (and therefore on resume), which only
+    costs a cold first chunk per window.
     """
     N = b.shape[0]
     if c.shape[0] != N:
@@ -153,6 +159,7 @@ def scenario_sweep(
                 out = hsd_solve_scan(
                     A, bb, cb, opts, kset, chunk=chunk, keys=keys,
                     compact_cap=compact_cap, compact_bucket=compact_bucket,
+                    warm_chain=warm_chain,
                 )
             else:
                 pad = chunk - (hi_w - lo_w)

@@ -108,6 +108,55 @@ class TestWarmStartRegistry:
                 float(sol.objective[i]), -res.fun, rtol=1e-6, atol=1e-6
             )
 
+    def test_scan_warm_chain_fewer_iterations_same_solutions(self):
+        """hsd_solve_scan(warm_chain=True): chunk k+1 lane j starts from
+        chunk k lane j on a correlated stream — fewer mean iterations,
+        unchanged solutions (VERDICT r1 item 6)."""
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b0, c = _batch_problem(m=10, n=24, B=8, seed=9)
+        rng = np.random.default_rng(10)
+        K = 6  # time steps (chunks); a slowly drifting b stream per lane
+        bs = [b0]
+        for _ in range(K - 1):
+            bs.append(bs[-1] * (1.0 + 0.01 * rng.normal(size=b0.shape)))
+        b = np.concatenate(bs, 0)
+        cc = np.tile(c, (K, 1))
+        opts = SolverOptions(tol=1e-8)
+        kw = dict(chunk=8, keys=("objective", "status", "iterations"))
+        cold = hsd_solve_scan(A, b, cc, opts, **kw)
+        warm = hsd_solve_scan(A, b, cc, opts, warm_chain=True, **kw)
+        assert np.all(np.asarray(warm["status"]) == int(Status.OPTIMAL))
+        np.testing.assert_allclose(
+            np.asarray(warm["objective"]), np.asarray(cold["objective"]),
+            rtol=1e-6, atol=1e-6,
+        )
+        # exclude chunk 0 (cold in both); later chunks must get cheaper
+        ci = np.asarray(cold["iterations"], np.float64)[8:].mean()
+        wi = np.asarray(warm["iterations"], np.float64)[8:].mean()
+        assert wi < ci, (wi, ci)
+
+    def test_scan_warm_chain_compact_path(self):
+        """warm_chain composes with the fused cap/compact sweep."""
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        A, b0, c = _batch_problem(m=10, n=24, B=8, seed=12)
+        rng = np.random.default_rng(13)
+        bs = [b0]
+        for _ in range(3):
+            bs.append(bs[-1] * (1.0 + 0.01 * rng.normal(size=b0.shape)))
+        b = np.concatenate(bs, 0)
+        cc = np.tile(c, (4, 1))
+        opts = SolverOptions(tol=1e-8)
+        kw = dict(chunk=8, keys=("objective", "status"), compact_cap=8,
+                  compact_bucket=16)
+        cold = hsd_solve_scan(A, b, cc, opts, **kw)
+        warm = hsd_solve_scan(A, b, cc, opts, warm_chain=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(warm["objective"]), np.asarray(cold["objective"]),
+            rtol=1e-6, atol=1e-6,
+        )
+
     def test_init_invalidates_warm_point(self):
         solver = get_solver("hsd", tol=1e-8, warm_start=True)
         solver.init(random_standard_lp(10, 25, nlp=8, seed=1))
