@@ -274,6 +274,35 @@ def run_sweep():
     emit("scenario sweep LPs/s", total / dt, "LP/s", (total / dt) / BASELINE_LPS_PER_SEC)
 
 
+def run_schur():
+    """Big-LP path: batch of m=256, n=2048 LPs, columns sharded over the
+    local mesh (1 chip here; the 8-device sharding is CPU-mesh tested)."""
+    from pycllp_tpu.io.generate import random_equality_lp
+    from pycllp_tpu.parallel import column_sharded_hsd_solve, model_mesh
+
+    m = int(os.environ.get("BENCH_SCHUR_M", 256))
+    n = int(os.environ.get("BENCH_SCHUR_N", 2048))
+    B = int(os.environ.get("BENCH_SCHUR_B", 8))
+    mesh = model_mesh()
+    rng = np.random.default_rng(0)
+    A, b0, c0 = random_equality_lp(m, n, seed=9)
+    b = np.stack([b0 * (1 + 0.05 * rng.random(m)) for _ in range(B)]).astype(np.float32)
+    c = np.stack([c0 + 0.02 * rng.random(n) for _ in range(B)]).astype(np.float32)
+    A = A.astype(np.float32)
+    opts = SolverOptions(tol=1e-5, dtype="float32", maxiter=60)
+    out = column_sharded_hsd_solve(A, b, c, opts, mesh=mesh)
+    np.asarray(out["objective"])  # warm incl compile
+    t0 = time.time()
+    out = column_sharded_hsd_solve(A, b, c, opts, mesh=mesh)
+    iters = np.asarray(out["iterations"])
+    dt = time.time() - t0
+    st = np.asarray(out["status"])
+    uniq, counts = np.unique(st, return_counts=True)
+    log(f"schur {B}x({m}x{n}) on {mesh.devices.size} dev: {dt:.3f}s, "
+        f"statuses={dict(zip(uniq.tolist(), counts.tolist()))}, iters={iters.tolist()}")
+    emit(f"big-LP ({m}x{n}) solves/s", B / dt, "LP/s", (B / dt) / BASELINE_LPS_PER_SEC)
+
+
 def run_correctness():
     """Config 1: afiro-scale correctness vs scipy at the 1e-6 contract."""
     from scipy.optimize import linprog
@@ -305,6 +334,7 @@ def run_all():
         ("netlib", run_netlib),  # config 4
         ("sweep", run_sweep),  # config 5 (single-host stand-in)
         ("weak", run_weak),  # weak-scaling target
+        ("schur", run_schur),  # big-LP / model-parallel path
     ):
         log(f"===== BENCH_MODE={name} =====")
         try:
@@ -322,6 +352,7 @@ def main():
         "weak": run_weak,
         "sweep": run_sweep,
         "correctness": run_correctness,
+        "schur": run_schur,
         "all": run_all,
     }
     modes[MODE]()

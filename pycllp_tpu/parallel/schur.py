@@ -1,22 +1,26 @@
-"""Column-sharded HSD for single LPs larger than one chip.
+"""Column-sharded HSD for LPs larger than one chip — batched.
 
 The "model parallel" slot of SURVEY.md §2.3 (no upstream analogue):
 variables (columns of A) partition across the mesh; each device holds
-``A_loc (m, n/P)``, ``x/z/c`` shards, while ``y/b`` and the m×m normal
-matrix are replicated.  Per iteration:
+``A_loc (m, n/P)`` and the ``x/z/c`` shards, while ``y/b`` and the m×m
+normal matrix are replicated.  A leading batch axis carries small
+batches of big LPs (shared A, per-instance b/c — the big-LP sibling of
+the scenario batch).  Per iteration:
 
-* ``M = Σ_p A_p D_p A_pᵀ`` — local Gram matrices assembled with ONE
-  ``psum`` over the model axis (the Schur-complement-style reduction of
-  BASELINE.json's north star: the only collective in the hot loop,
-  riding ICI);
-* Cholesky + triangular solves run on the replicated M on every device
-  (m ≪ n: redundant compute is cheaper than sharding an m×m factor);
+* ``M_b = Σ_p A_p D_{b,p} A_pᵀ`` — local Gram matrices assembled with
+  ONE ``psum`` over the model axis (the Schur-complement-style
+  reduction of BASELINE.json's north star: the only collective in the
+  hot loop, riding ICI);
+* batched Cholesky + triangular solves run on the replicated (B, m, m)
+  M on every device (m ≪ n: redundant compute is cheaper than sharding
+  an m×m factor);
 * matvecs ``A@x`` psum; ``Aᵀy`` is purely local; dot products and the
   ratio test reduce with psum/pmin.
 
 Termination quantities are replicated by construction, so the
-``while_loop`` predicate is consistent across devices with no extra
-collective.
+``while_loop`` predicate (any lane RUNNING) is consistent across
+devices with no extra collective.  Per-lane status masking mirrors
+:mod:`pycllp_tpu.solvers.hsd`.
 """
 
 from __future__ import annotations
@@ -46,13 +50,14 @@ def model_mesh(n_devices: int | None = None, axis: str = "model") -> Mesh:
 
 
 class ColState(NamedTuple):
-    x: jnp.ndarray  # (n_loc,)
-    y: jnp.ndarray  # (m,) replicated
-    z: jnp.ndarray  # (n_loc,)
-    tau: jnp.ndarray
-    kappa: jnp.ndarray
-    status: jnp.ndarray
-    k: jnp.ndarray
+    x: jnp.ndarray  # (B, n_loc)
+    y: jnp.ndarray  # (B, m) replicated
+    z: jnp.ndarray  # (B, n_loc)
+    tau: jnp.ndarray  # (B,)
+    kappa: jnp.ndarray  # (B,)
+    status: jnp.ndarray  # (B,) int32
+    iterations: jnp.ndarray  # (B,) int32
+    k: jnp.ndarray  # () int32
 
 
 def column_sharded_hsd_solve(
@@ -62,10 +67,13 @@ def column_sharded_hsd_solve(
     opts: SolverOptions = SolverOptions(),
     mesh: Mesh | None = None,
 ):
-    """Solve ONE equality-form LP ``min cᵀx, Ax=b, x≥0`` with columns
-    sharded over the mesh.  n must divide by the mesh size.
+    """Solve a (batch of) equality-form LP(s) ``min cᵀx, Ax=b, x≥0``
+    with columns sharded over the mesh.  ``n`` must divide by the mesh
+    size (the registry ``schur`` solver pads automatically).
 
-    Returns dict(x, y, objective, status, iterations) with x sharded.
+    ``b``/``c`` may be ``(m,)``/``(n,)`` (single LP) or ``(B, m)``/
+    ``(B, n)``.  Returns dict(x, z, y, objective, status, iterations)
+    with x/z column-sharded and the batch axis matching the input.
     """
     if mesh is None:
         mesh = model_mesh()
@@ -79,15 +87,18 @@ def column_sharded_hsd_solve(
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
     c = jnp.asarray(c, dtype)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b, c = b[None], c[None]
     n_total = n
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis), P(), P(axis)),
+        in_specs=(P(None, axis), P(), P(None, axis)),
         out_specs={
-            "x": P(axis),
-            "z": P(axis),
+            "x": P(None, axis),
+            "z": P(None, axis),
             "y": P(),
             "objective": P(),
             "status": P(),
@@ -96,47 +107,53 @@ def column_sharded_hsd_solve(
         check_vma=False,
     )
     def solve(A_l, b_r, c_l):
+        B = b_r.shape[0]
+
         def psum(v):
             return lax.psum(v, axis)
 
         def pmin(v):
             return lax.pmin(v, axis)
 
-        def mv(x_l):  # A @ x → (m,) replicated
-            return psum(A_l @ x_l)
+        def mv(x_l):  # A @ x → (B, m) replicated
+            return psum(jnp.einsum("bn,mn->bm", x_l, A_l))
 
-        def rmv(y_r):  # Aᵀ y → local shard
-            return A_l.T @ y_r
+        def rmv(y_r):  # Aᵀ y → local (B, n_loc) shard
+            return jnp.einsum("bm,mn->bn", y_r, A_l)
 
-        def pdot(u_l, v_l):
-            return psum(jnp.dot(u_l, v_l))
+        def pdot(u_l, v_l):  # (B,) replicated
+            return psum(jnp.sum(u_l * v_l, axis=-1))
 
         reg_eps = opts.resolved_reg_eps(dtype)
 
         def residuals(s: ColState):
-            rp = b_r * s.tau - mv(s.x)
-            rd = c_l * s.tau - rmv(s.y) - s.z
-            rg = pdot(c_l, s.x) - jnp.dot(b_r, s.y) + s.kappa
+            rp = b_r * s.tau[:, None] - mv(s.x)
+            rd = c_l * s.tau[:, None] - rmv(s.y) - s.z
+            rg = pdot(c_l, s.x) - jnp.sum(b_r * s.y, axis=-1) + s.kappa
             mu = (pdot(s.x, s.z) + s.tau * s.kappa) / (n_total + 1)
             return rp, rd, rg, mu
 
-        def dnorm(v_l):  # 2-norm of a column-sharded vector
-            return jnp.sqrt(psum(jnp.dot(v_l, v_l)))
+        def dnorm(v_l):  # (B,) 2-norm of column-sharded vectors
+            return jnp.sqrt(psum(jnp.sum(v_l * v_l, axis=-1)))
 
         x0 = jnp.ones_like(c_l)
         y0 = jnp.zeros_like(b_r)
         z0 = jnp.ones_like(c_l)
-        one = jnp.asarray(1.0, dtype)
-        s0 = ColState(x0, y0, z0, one, one, _RUNNING, jnp.int32(0))
+        ones = jnp.ones((B,), dtype)
+        s0 = ColState(
+            x0, y0, z0, ones, ones,
+            jnp.full((B,), _RUNNING, jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.int32(0),
+        )
         rp, rd, rg, mu = residuals(s0)
-        rp0 = jnp.maximum(1.0, jnp.linalg.norm(rp))
+        rp0 = jnp.maximum(1.0, jnp.linalg.norm(rp, axis=-1))
         rd0 = jnp.maximum(1.0, dnorm(rd))
         rg0 = jnp.maximum(1.0, jnp.abs(rg))
         mu0 = mu
 
         def classify(s, rp, rd, rg, mu):
-            by = jnp.dot(b_r, s.y)
-            rho_p = jnp.linalg.norm(rp) / rp0
+            by = jnp.sum(b_r * s.y, axis=-1)
+            rho_p = jnp.linalg.norm(rp, axis=-1) / rp0
             rho_d = dnorm(rd) / rd0
             rho_g = jnp.abs(rg) / rg0
             rho_A = jnp.abs(rg - s.kappa) / (s.tau + jnp.abs(by))
@@ -153,10 +170,11 @@ def column_sharded_hsd_solve(
                 jnp.int32(int(Status.INFEASIBLE)),
                 jnp.int32(int(Status.UNBOUNDED)),
             )
+            running = s.status == _RUNNING
             return jnp.where(
-                (s.status == _RUNNING) & optimal,
+                running & optimal,
                 jnp.int32(int(Status.OPTIMAL)),
-                jnp.where((s.status == _RUNNING) & (inf1 | inf2), infs, s.status),
+                jnp.where(running & (inf1 | inf2), infs, s.status),
             )
 
         def max_step(x, dx, z, dz, tau, dtau, kappa, dkappa):
@@ -164,7 +182,7 @@ def column_sharded_hsd_solve(
 
             def ratios(v, dv):
                 r = jnp.where(dv < 0, v / jnp.where(dv < 0, -dv, 1.0), big)
-                return jnp.min(r) if r.size else big
+                return jnp.min(r, axis=-1) if r.shape[-1] else jnp.full(r.shape[:-1], big, dtype)
 
             a = pmin(jnp.minimum(ratios(x, dx), ratios(z, dz)))
             a = jnp.minimum(a, jnp.where(dtau < 0, tau / jnp.where(dtau < 0, -dtau, 1.0), big))
@@ -174,24 +192,24 @@ def column_sharded_hsd_solve(
             return a
 
         def cond(s):
-            return (s.k < opts.maxiter) & (s.status == _RUNNING)
+            return (s.k < opts.maxiter) & jnp.any(s.status == _RUNNING)
 
         def body(s):
             rp, rd, rg, mu = residuals(s)
             status = classify(s, rp, rd, rg, mu)
 
-            dinv = s.x / s.z
-            # the Schur/psum assembly: M = Σ_p A_p D_p A_pᵀ (replicated)
-            M = psum(jnp.einsum("in,n,jn->ij", A_l, dinv, A_l))
-            diag_max = jnp.max(jnp.diagonal(M))
-            M = M + (reg_eps * diag_max) * jnp.eye(m, dtype=dtype)
-            L = lax.linalg.cholesky(M)
+            dinv = s.x / s.z  # (B, n_loc)
+            # the Schur/psum assembly: M_b = Σ_p A_p D_{b,p} A_pᵀ (replicated)
+            M = psum(jnp.einsum("in,bn,jn->bij", A_l, dinv, A_l))
+            diag_max = jnp.max(jnp.diagonal(M, axis1=-2, axis2=-1), axis=-1)
+            M = M + (reg_eps * diag_max)[:, None, None] * jnp.eye(m, dtype=dtype)
+            L = lax.linalg.cholesky(M)  # batched; big-m XLA path
 
-            def msolve(r):  # replicated m-system
-                t = lax.linalg.triangular_solve(L, r[:, None], left_side=True, lower=True)
+            def msolve(r):  # (B, m) replicated systems
+                t = lax.linalg.triangular_solve(L, r[..., None], left_side=True, lower=True)
                 return lax.linalg.triangular_solve(
                     L, t, left_side=True, lower=True, transpose_a=True
-                )[:, 0]
+                )[..., 0]
 
             def sym_solve(r1_l, r2_r):
                 v = msolve(r2_r + mv(dinv * r1_l))
@@ -199,26 +217,31 @@ def column_sharded_hsd_solve(
                 return u, v
 
             p, q = sym_solve(c_l, b_r)
-            denom = s.kappa / s.tau + jnp.dot(b_r, q) - pdot(c_l, p)
+            denom = s.kappa / s.tau + jnp.sum(b_r * q, axis=-1) - pdot(c_l, p)
 
             def newton(eta, gmu, dxa, dza, dta, dka):
-                rxs = gmu - s.x * s.z - dxa * dza
+                rxs = gmu[:, None] - s.x * s.z - dxa * dza
                 rtk = gmu - s.tau * s.kappa - dta * dka
-                r1 = eta * rd - rxs / s.x
-                u, v = sym_solve(r1, eta * rp)
-                dtau = (eta * rg + rtk / s.tau - (jnp.dot(b_r, v) - pdot(c_l, u))) / denom
-                dx = u + p * dtau
-                dy = v + q * dtau
+                r1 = eta[:, None] * rd - rxs / s.x
+                u, v = sym_solve(r1, eta[:, None] * rp)
+                dtau = (
+                    eta * rg + rtk / s.tau
+                    - (jnp.sum(b_r * v, axis=-1) - pdot(c_l, u))
+                ) / denom
+                dx = u + p * dtau[:, None]
+                dy = v + q * dtau[:, None]
                 dz = (rxs - s.z * dx) / s.x
                 dkappa = (rtk - s.kappa * dtau) / s.tau
                 return dx, dy, dz, dtau, dkappa
 
             zero_l = jnp.zeros_like(s.x)
-            zero = jnp.asarray(0.0, dtype)
-            dxa, dya, dza, dta, dka = newton(1.0, zero, zero_l, zero_l, zero, zero)
+            zero = jnp.zeros((B,), dtype)
+            one = jnp.ones((B,), dtype)
+            dxa, dya, dza, dta, dka = newton(one, zero, zero_l, zero_l, zero, zero)
             a_aff = jnp.minimum(1.0, max_step(s.x, dxa, s.z, dza, s.tau, dta, s.kappa, dka))
+            aan = a_aff[:, None]
             mu_aff = (
-                pdot(s.x + a_aff * dxa, s.z + a_aff * dza)
+                pdot(s.x + aan * dxa, s.z + aan * dza)
                 + (s.tau + a_aff * dta) * (s.kappa + a_aff * dka)
             ) / (n_total + 1)
             gamma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
@@ -227,25 +250,32 @@ def column_sharded_hsd_solve(
                 1.0, opts.alpha0 * max_step(s.x, dx, s.z, dz, s.tau, dtau, s.kappa, dkappa)
             )
 
-            xn = s.x + alpha * dx
-            yn = s.y + alpha * dy
-            zn = s.z + alpha * dz
+            an = alpha[:, None]
+            xn = s.x + an * dx
+            yn = s.y + an * dy
+            zn = s.z + an * dz
             taun = s.tau + alpha * dtau
             kappan = s.kappa + alpha * dkappa
             finite = (
-                psum(jnp.sum(~jnp.isfinite(xn)) + jnp.sum(~jnp.isfinite(zn))) == 0
+                psum(
+                    jnp.sum(~jnp.isfinite(xn), axis=-1)
+                    + jnp.sum(~jnp.isfinite(zn), axis=-1)
+                )
+                == 0
             ) & jnp.isfinite(taun) & (taun > 0)
             status = jnp.where(
                 (status == _RUNNING) & ~finite, jnp.int32(int(Status.NUMERICAL)), status
             )
             take = status == _RUNNING
+            tn = take[:, None]
             return ColState(
-                x=jnp.where(take, xn, s.x),
-                y=jnp.where(take, yn, s.y),
-                z=jnp.where(take, zn, s.z),
+                x=jnp.where(tn, xn, s.x),
+                y=jnp.where(tn, yn, s.y),
+                z=jnp.where(tn, zn, s.z),
                 tau=jnp.where(take, taun, s.tau),
                 kappa=jnp.where(take, kappan, s.kappa),
                 status=status,
+                iterations=jnp.where(take, s.iterations + 1, s.iterations),
                 k=s.k + 1,
             )
 
@@ -256,17 +286,20 @@ def column_sharded_hsd_solve(
             status == _RUNNING, jnp.int32(int(Status.ITERATION_LIMIT)), status
         )
         tau_safe = jnp.maximum(s.tau, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
-        x_hat = s.x / tau_safe
-        y_hat = s.y / tau_safe
+        x_hat = s.x / tau_safe[:, None]
+        y_hat = s.y / tau_safe[:, None]
         objective = pdot(c_l, x_hat)
         return {
             "x": x_hat,
-            "z": s.z / tau_safe,
+            "z": s.z / tau_safe[:, None],
             "y": y_hat,
             "objective": objective,
             "status": status,
-            "iterations": s.k,
+            "iterations": s.iterations,
         }
 
     with jax.default_matmul_precision("highest"):
-        return solve(A, b, c)
+        out = solve(A, b, c)
+    if squeeze:
+        out = {k_: v[0] for k_, v in out.items()}
+    return out

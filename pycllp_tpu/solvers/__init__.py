@@ -14,6 +14,7 @@ from pycllp_tpu.solvers import jax_hsd as _jax_hsd  # noqa: F401
 from pycllp_tpu.solvers import scipy_solver as _scipy_solver  # noqa: F401
 from pycllp_tpu.solvers import cpp as _cpp  # noqa: F401
 from pycllp_tpu.solvers import dense_path as _dense_path  # noqa: F401
+from pycllp_tpu.solvers import schur_solver as _schur_solver  # noqa: F401
 
 __all__ = [
     "BaseSolver",
