@@ -189,35 +189,68 @@ def run_batch32():
 
 
 def run_netlib():
-    from pycllp_tpu.io.netlib import fixture_names, load_fixture, pad_and_mask
+    """Config 4: heterogeneous netlib batch, BUCKETED by padded size
+    (VERDICT r1 item 10: round-1 padded every problem to the global max).
 
-    probs = [load_fixture(nm) for nm in fixture_names()]
+    Buckets holding one distinct structure take the shared-A fast path
+    (2-D A, Pallas W-trick kernels); genuinely mixed buckets pad within
+    the bucket and run the per-instance (3-D A) path.  Per-replica b is
+    perturbed scenario-style so the batch isn't 512 copies of one solve.
+    """
+    from pycllp_tpu.io.netlib import bucket_problems, fixture_names, load_fixture, pad_and_mask
+
+    names = fixture_names()
+    probs = [load_fixture(nm) for nm in names]
     stds = [p.lp.to_standard_form()[0] for p in probs]
-    A, b, c, _, _ = pad_and_mask(stds, dtype=np.float32)
-    # replicate the 3 problems to a batch
-    reps = 512
-    A = np.repeat(A, reps, 0)
-    b = np.repeat(b, reps, 0)
-    c = np.repeat(c, reps, 0)
-    mm, nn = A.shape[1], A.shape[2]
-    eye = np.broadcast_to(np.eye(mm, dtype=np.float32), (A.shape[0], mm, mm))
-    A_eq = jax.device_put(np.concatenate([A, eye], axis=2))
-    c_eq = jax.device_put(
-        np.concatenate([-c, np.zeros((A.shape[0], mm), np.float32)], axis=1)
-    )
-    b = jax.device_put(b)
+    reps = int(os.environ.get("BENCH_NETLIB_REPS", 512))
+    rng = np.random.default_rng(7)
     opts = bench_options()
+    kset = get_kset()
+    buckets = bucket_problems(stds)
+    log(f"netlib buckets: { {k: [names[i] for i in v] for k, v in buckets.items()} }")
+
+    staged = []
+    for key, idxs in sorted(buckets.items()):
+        if len(idxs) == 1:
+            # one structure → shared-A fast path
+            eq = stds[idxs[0]].to_equality_form()
+            A = jax.device_put(np.asarray(eq.A, np.float32))
+            scale = (1.0 + 0.1 * rng.random((reps, 1))).astype(np.float32)
+            b = jax.device_put(np.asarray(eq.b, np.float32).reshape(1, -1) * scale)
+            c = jax.device_put(
+                np.broadcast_to(
+                    np.asarray(eq.c, np.float32).reshape(1, -1), (reps, eq.c.shape[-1])
+                ).copy()
+            )
+            staged.append((names[idxs[0]], A, b, c))
+        else:
+            Ab, bb, cb, _, _ = pad_and_mask([stds[i] for i in idxs], np.float32)
+            mm = Ab.shape[1]
+            eye = np.broadcast_to(np.eye(mm, dtype=np.float32), (Ab.shape[0], mm, mm))
+            A_eq = np.concatenate([Ab, eye], axis=2)
+            c_eq = np.concatenate([-cb, np.zeros((Ab.shape[0], mm), np.float32)], axis=1)
+            A_eq = np.repeat(A_eq, reps, 0)
+            scale = (1.0 + 0.1 * rng.random((A_eq.shape[0], 1))).astype(np.float32)
+            b_r = np.repeat(bb, reps, 0) * scale
+            c_r = np.repeat(c_eq, reps, 0)
+            staged.append(
+                ("+".join(names[i] for i in idxs),
+                 jax.device_put(A_eq), jax.device_put(b_r), jax.device_put(c_r))
+            )
+
+    def solve_all():
+        outs = [hsd_solve_batched(A, b, c, opts, kset) for _, A, b, c in staged]
+        return [np.asarray(o["objective"]) for o in outs]
+
     t0 = time.time()
-    out = hsd_solve_batched(A_eq, b, c_eq, opts, get_kset())
-    np.asarray(out["objective"])
+    solve_all()
     log(f"warmup: {time.time()-t0:.1f}s")
     t0 = time.time()
-    out = hsd_solve_batched(A_eq, b, c_eq, opts, get_kset())
-    obj = np.asarray(out["objective"])
+    solve_all()
     dt = time.time() - t0
-    total = A.shape[0]
-    log(f"netlib padded batch ({total} of {fixture_names()}, padded {mm}x{nn}): {dt:.3f}s")
-    emit("netlib padded heterogeneous LPs/s", total / dt, "LP/s", (total / dt) / BASELINE_LPS_PER_SEC)
+    total = sum(b.shape[0] for _, _, b, _ in staged)
+    log(f"netlib bucketed batch ({total} over {len(staged)} buckets): {dt:.3f}s")
+    emit("netlib bucketed heterogeneous LPs/s", total / dt, "LP/s", (total / dt) / BASELINE_LPS_PER_SEC)
 
 
 def run_weak():

@@ -96,14 +96,14 @@ if __name__ == "__main__":
     fmax = int(os.environ.get("FMAX", 20))
     patience = int(os.environ.get("PAT", 3))
     gondzio = int(os.environ.get("GONDZIO", 0))
-    fast = os.environ.get("DF_FAST", "0") != "0"
+    form = os.environ.get("FORM", "ozaki")  # ozaki | f64 | fast
     bucket = int(os.environ.get("BUCKET", 5120))
-    if fast:
+    if form != "ozaki":
         from pycllp_tpu.ops.batchlast import BatchLastKernels
-        from pycllp_tpu.ops.df64 import DF64_FASTFORM_KERNELS
+        from pycllp_tpu.ops.df64 import DoubleSingleKernels
 
         kset = BatchLastKernels()
-        kset._finish_kernels = DF64_FASTFORM_KERNELS
+        kset._finish_kernels = DoubleSingleKernels(form=form)
         globals()["BATCHLAST_KERNELS"] = kset
     # contract config: tol 1e-6, f32 bulk + df64 finish (ops/df64.py)
     base = SolverOptions(
@@ -113,4 +113,4 @@ if __name__ == "__main__":
         switch_tol=1e-5, finish_maxiter=fmax, finish_gondzio=gondzio,
     )
     run(total, chunk, base, cap=12, bucket=bucket, finish_cap=fcap,
-        label=f"contract fcap={fcap} gz={gondzio} fast={int(fast)}")
+        label=f"contract fcap={fcap} gz={gondzio} form={form}")

@@ -72,7 +72,7 @@ def timed(label, fn, *args, baseline=0.0):
     return dt
 
 
-base = timed("no-op dispatch baseline", lambda x: x[0, 0], Mh0)
+base = timed("no-op dispatch baseline", lambda x: x[0, 0, 0], Mh0)
 timed("f32 W@dT formation", lambda w, d: (w @ d)[0, 0], W32, d32, baseline=base)
 timed("f64 W@dT formation (emulated)", lambda d: (ctx.W @ d.T).reshape(M, M, B)[0, 0, 0], d0, baseline=base)
 timed(

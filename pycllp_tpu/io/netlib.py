@@ -22,7 +22,13 @@ from pycllp_tpu.io.generate import random_standard_lp
 from pycllp_tpu.io.mps import MPSProblem, read_mps, write_mps
 from pycllp_tpu.models import GeneralLP, StandardLP
 
-__all__ = ["NETLIB_SCALES", "load_fixture", "fixture_names", "pad_and_mask"]
+__all__ = [
+    "NETLIB_SCALES",
+    "load_fixture",
+    "fixture_names",
+    "pad_and_mask",
+    "bucket_problems",
+]
 
 NETLIB_SCALES = {
     # name -> (rows, cols) of the real netlib problem it stands in for
@@ -58,6 +64,30 @@ def load_fixture(name: str) -> MPSProblem:
     )
     text = write_mps(glp, name=f"SYN-{name.upper()}")
     return read_mps(text)
+
+
+def bucket_problems(
+    problems: list[StandardLP], round_rows: int = 8, round_cols: int = 8
+) -> dict:
+    """Group heterogeneous problems into padded-size buckets
+    (SURVEY.md §7 hard part 4: pad-to-BUCKET, not pad-to-global-max).
+
+    Problems whose (rows, cols) round up to the same multiple share a
+    bucket; a 27×32 LP no longer pays a 56×97 pad because one large
+    problem is in the batch (the O((m_max/m_i)³) factorization blow-up
+    dominated the round-1 netlib bench).  Within a bucket, callers
+    should additionally detect identical A across instances and take
+    the shared-structure fast path.
+
+    Returns ``{(m_pad, n_pad): [problem_index, ...]}`` with indices into
+    ``problems``; every problem appears in exactly one bucket.
+    """
+    up = lambda v, r: -(-v // r) * r  # noqa: E731
+    buckets: dict[tuple, list] = {}
+    for i, p in enumerate(problems):
+        key = (up(p.nrows, round_rows), up(p.ncols, round_cols))
+        buckets.setdefault(key, []).append(i)
+    return buckets
 
 
 def pad_and_mask(problems: list[StandardLP], dtype=np.float32):

@@ -362,13 +362,15 @@ class BatchLastKernels(KernelSet):
         if not isinstance(ctx, PreparedBL):
             # batched (per-instance) A: no shared-W trick, but the lane-
             # vectorised Cholesky still beats XLA's batched cholesky by
-            # ~60x — form M per instance in XLA, transpose to batch-last.
+            # ~60x — form M per instance, with the einsum emitting the
+            # batch-LAST layout directly so XLA can fuse the layout
+            # change into the contraction epilogue instead of a separate
+            # full-batch HBM transpose every iteration (VERDICT r1 #10).
             m = ctx.A.shape[-2]
             B = d.shape[0]
             diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
             reg = (reg_eps * jnp.max(diag, axis=-1)).astype(d.dtype)
-            M = jnp.einsum("...mn,...n,...kn->...mk", ctx.A, d, ctx.A)
-            M_bl, _ = _pad_lanes(jnp.moveaxis(M, 0, -1), B)
+            M_bl, _ = _pad_lanes(jnp.einsum("bmn,bn,bkn->mkb", ctx.A, d, ctx.A), B)
             regp, _ = _pad_lanes(reg, B)
             L, dinv = _chol_bl(M_bl, regp, m=m)
             return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)

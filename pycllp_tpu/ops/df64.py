@@ -331,6 +331,88 @@ def _split_hi_lo(x64):
 
 
 # ---------------------------------------------------------------------------
+# Ozaki-scheme exact GEMM: ~2⁻⁴⁸-accurate W @ dᵀ from bf16 MXU passes
+# ---------------------------------------------------------------------------
+#
+# XLA's emulated-f64 GEMM costs 98 ms for the 16K-lane 64² normal-matrix
+# formation (measured, experiments/exp_df64_single.py) — the single
+# largest wide-phase cost.  The Ozaki splitting (Ozaki et al. 2012)
+# replaces it with ~26 NATIVE bf16 MXU GEMMs whose accumulations are
+# EXACT, plus one fused f64 reduction:
+#
+# * slice each operand along the contraction axis into s=8-bit bands
+#   relative to a per-row (W) / per-column (dᵀ) power-of-two quantum:
+#   slice k holds an integer multiple of q·2⁻ᵏˢ with |integer| < 2⁸ —
+#   exactly representable in bf16;
+# * a bf16×bf16→f32 MXU product of two slices is an integer ≤ 2¹⁴ times
+#   a fixed quantum; summing n=128 of them stays ≤ 2²¹ × quantum —
+#   EXACTLY representable in the f32 accumulator (24-bit mantissa), so
+#   each slice-pair GEMM is exact, not approximately rounded;
+# * keeping pairs with k+l ≤ OZAKI_CUT and f64-summing them yields the
+#   product to ~2^(−8·(OZAKI_CUT−1)) ABSOLUTE accuracy per output (the
+#   same backward-error class as the df64 factorization itself).
+
+OZAKI_SLICES = 7  # 8-bit bands per operand (56 bits captured).  Measured
+# on wide-dynamic-range data (16-decade d): max error ≈ 2^(−8·ns+12.5)
+# of the output scale — 6 slices floor at 2e-11 (too close to the 1e-12
+# diagonal shift), 7 at ~8e-14.
+OZAKI_CUT = 9  # keep slice pairs with k+l ≤ cut (1-indexed): dropped-pair
+# error ≤ n·2^(−8(cut−2)) sits below the 7-slice truncation floor
+
+
+def _ozaki_slice(X, axis, n_slices=OZAKI_SLICES, s=8):
+    """Slice f64 ``X`` into bf16-exact 8-bit bands along ``axis``.
+
+    Returns a list of f64 arrays (cast to bf16 at the GEMM) whose sum
+    equals X to ``n_slices*s`` bits relative to the per-slice quantum
+    (set by the max |X| over ``axis``).
+    """
+    mx = jnp.max(jnp.abs(X), axis=axis, keepdims=True)
+    # smallest power of two > mx (strict, so |R|/q < 2^s exactly)
+    e = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(mx, jnp.asarray(1e-300, X.dtype)))) + 1.0)
+    slices = []
+    R = X
+    for k in range(1, n_slices + 1):
+        # Veltkamp-style constant: the 1.5 keeps the exponent of R+σ
+        # CONSTANT for either sign of R (a pure power-of-two σ halves
+        # the effective quantum when R < 0 — measured half-integer
+        # slices), so ulp(R+σ) = e·2^(−k·s) exactly.
+        sigma = 1.5 * e * (2.0 ** (52 - k * s))
+        Xk = (R + sigma) - sigma  # round R to that quantum (exact f64 ops)
+        slices.append(Xk)
+        R = R - Xk
+    return slices
+
+
+def _ozaki_matmul(W_slices, d64, *, n_slices=OZAKI_SLICES, cut=OZAKI_CUT):
+    """~2⁻⁴⁸-accurate ``W @ d64`` from exact bf16 MXU slice products.
+
+    ``W_slices``: precomputed ``_ozaki_slice(W, axis=1)`` (bf16 list).
+    ``d64``: (n, B) f64, sliced here along axis 0 (the contraction axis).
+    Returns f64 (m², B).
+
+    On TPU the slice GEMMs run native bf16→f32 on the MXU (exact by the
+    headroom argument above).  CPU backends accumulate bf16 dots IN
+    bf16 (measured — destroys the exactness), so off-TPU the slices are
+    upcast to f32, whose CPU dot accumulates exactly for these integers.
+    """
+    gemm_t = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    d_slices = [
+        dk.astype(gemm_t) for dk in _ozaki_slice(d64, axis=0, n_slices=n_slices)
+    ]
+    acc = None
+    for k, Wk in enumerate(W_slices, start=1):
+        for l, dl in enumerate(d_slices, start=1):
+            if k + l > cut:
+                continue
+            P = jnp.dot(
+                Wk.astype(gemm_t), dl, preferred_element_type=jnp.float32
+            )
+            acc = P.astype(jnp.float64) if acc is None else acc + P.astype(jnp.float64)
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # KernelSet implementation (f64 public interface)
 # ---------------------------------------------------------------------------
 
@@ -341,6 +423,7 @@ class PreparedDF(typing.NamedTuple):
     W: typing.Any  # (m², n) f64 self-outer-product, or None for 3-D A
     Wh: typing.Any  # f32 hi/lo split of W (fast-formation GEMM inputs)
     Wl: typing.Any
+    Woz: typing.Any  # tuple of bf16 Ozaki slices of W, or None
 
 
 class DFFactor(typing.NamedTuple):
@@ -366,26 +449,32 @@ class DoubleSingleKernels(KernelSet):
 
     name = "pallas_df64"
 
-    def __init__(self, fast_form: bool = False):
-        # fast_form: form M with THREE f32 MXU GEMMs on hi/lo-split
-        # inputs (f64 combine) instead of XLA's emulated-f64 GEMM.
-        # The emulated GEMM was measured at 102 ms per 16K-lane 64²
-        # formation on v5e (experiments/exp_df64.py, 2026-08-19) — the
-        # single biggest wide-phase cost; the split-GEMM variant costs
-        # ~3 f32 GEMMs (~1 ms class) at ~f32-accumulation accuracy
-        # (~n·ε₃₂ relative on M, vs ~2⁻⁴⁸ for the emulated GEMM).
-        self.fast_form = fast_form
-        if fast_form:
-            self.name = "pallas_df64_fastform"
+    def __init__(self, form: str = "ozaki"):
+        # How the (shared-A) normal matrix is formed, measured per
+        # 16K-lane 64² formation on v5e (experiments/, 2026-08-19):
+        #   "f64"   XLA's emulated-f64 GEMM — 98 ms, ~2⁻⁴⁸ accurate
+        #   "ozaki" ~26 EXACT bf16 MXU slice GEMMs + f64 sum — ~2⁻⁴⁸
+        #           absolute accuracy at a fraction of the cost
+        #   "fast"  3 f32 GEMMs on hi/lo splits — f32-ACCUMULATION
+        #           accuracy (~1e-6): measured UNUSABLE for the 1e-12
+        #           shift (15.8K/16.4K lanes NUMERICAL); kept only as a
+        #           recorded negative result
+        assert form in ("ozaki", "f64", "fast")
+        self.form = form
+        if form != "ozaki":
+            self.name = f"pallas_df64_{form}form"
 
     def prepare(self, A):
         A = jnp.asarray(A, jnp.float64)
         if A.ndim != 2:
-            return PreparedDF(A=A, Asq=A * A, W=None, Wh=None, Wl=None)
+            return PreparedDF(A=A, Asq=A * A, W=None, Wh=None, Wl=None, Woz=None)
         m, n = A.shape
         W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
         Wh, Wl = _split_hi_lo(W)
-        return PreparedDF(A=A, Asq=A * A, W=W, Wh=Wh, Wl=Wl)
+        Woz = tuple(
+            wk.astype(jnp.bfloat16) for wk in _ozaki_slice(W, axis=1)
+        )
+        return PreparedDF(A=A, Asq=A * A, W=W, Wh=Wh, Wl=Wl, Woz=Woz)
 
     def mv(self, ctx, x):
         return jnp.einsum("...mn,...n->...m", ctx.A, x)
@@ -402,9 +491,12 @@ class DoubleSingleKernels(KernelSet):
         diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
         reg = reg_eps * jnp.max(diag, axis=-1)
         if ctx.W is None:
-            M = jnp.moveaxis(jnp.einsum("bmn,bn,bkn->bmk", ctx.A, d, ctx.A), 0, -1)
+            M = jnp.einsum("bmn,bn,bkn->mkb", ctx.A, d, ctx.A)
             Mh, Ml = _split_hi_lo(_pad_lanes(M, B))
-        elif self.fast_form:
+        elif self.form == "ozaki":
+            M = _ozaki_matmul(ctx.Woz, d.T).reshape(m, m, -1)
+            Mh, Ml = _split_hi_lo(_pad_lanes(M, B))
+        elif self.form == "fast":
             dh, dl = _split_hi_lo(d.T)
             P = ctx.Wh @ dh  # f32 MXU (highest-precision passes)
             Q = ctx.Wh @ dl + ctx.Wl @ dh
@@ -433,5 +525,6 @@ class DoubleSingleKernels(KernelSet):
         return tuple(V[i, :, :B].T for i in range(len(rs)))
 
 
-DF64_FINISH_KERNELS = DoubleSingleKernels()
-DF64_FASTFORM_KERNELS = DoubleSingleKernels(fast_form=True)
+DF64_FINISH_KERNELS = DoubleSingleKernels()  # Ozaki formation (default)
+DF64_F64FORM_KERNELS = DoubleSingleKernels(form="f64")
+DF64_FASTFORM_KERNELS = DoubleSingleKernels(form="fast")

@@ -61,6 +61,38 @@ class TestDFArithmetic:
         assert r_rel.max() < 1e-13
 
 
+class TestOzakiFormation:
+    def test_exact_gemm_wide_dynamic_range(self):
+        """Ozaki slice GEMM ≈ f64 GEMM to ≲1e-13 of the output scale on
+        16-decade-spread d (the late-IPM regime that broke the plain
+        f32 split-GEMM formation)."""
+        from pycllp_tpu.ops.df64 import _ozaki_matmul, _ozaki_slice
+
+        rng = np.random.default_rng(0)
+        m, n, B = 24, 48, 256
+        A = rng.standard_normal((m, n))
+        W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
+        d = np.exp(rng.uniform(-18, 18, (n, B)))
+        Woz = tuple(
+            wk.astype(jnp.bfloat16) for wk in _ozaki_slice(jnp.asarray(W), axis=1)
+        )
+        P = np.asarray(_ozaki_matmul(Woz, jnp.asarray(d)))
+        ref = W @ d
+        scale = np.abs(W) @ d
+        err = (np.abs(P - ref) / np.maximum(scale, 1e-300)).max()
+        assert err < 1e-12, f"abs-scaled err {err:.2e}"
+
+    def test_slices_are_bf16_exact(self):
+        from pycllp_tpu.ops.df64 import _ozaki_slice
+
+        rng = np.random.default_rng(1)
+        X = rng.standard_normal((100, 32)) * np.exp(rng.uniform(-9, 9, (100, 32)))
+        for sl in _ozaki_slice(jnp.asarray(X), axis=1):
+            sl64 = np.asarray(sl, np.float64)
+            cast = np.asarray(jnp.asarray(sl).astype(jnp.bfloat16), np.float64)
+            assert np.array_equal(sl64, cast)
+
+
 class TestDFFactorSolve:
     @pytest.mark.parametrize("m,n,B", [(16, 24, 128), (32, 48, 256)])
     def test_solve_accuracy_vs_numpy(self, m, n, B):
