@@ -387,22 +387,36 @@ class BatchLastKernels(KernelSet):
             L, dinv = _chol_bl(M, regp, m=m)
         return BLFactor(ctx=ctx, L=L, dinv_diag=dinv, d=d, reg=reg)
 
-    def finish_kernels(self) -> KernelSet:
-        """Double-single finish: df64 Pallas factors + f64 residuals.
+    def finish_kernels(self, which: str = "df64") -> KernelSet:
+        """Wide-phase sibling selected by ``SolverOptions.finish_kset``.
 
-        The f64 finish phase would otherwise fall back to XLA's emulated
-        f64 (matmul ~65x slower than f32 on v5e).  The earlier
-        f32-factor + iterative-refinement design (ops/mixed.py) cannot
-        reach the 1e-6 contract — its f32 PSD-safety shift makes IR
-        stagnate at ~3e-4 (measured, exp_finish_debug2) — so the finish
-        runs genuinely wider factorizations in double-single arithmetic
-        on the VPU.  See :mod:`pycllp_tpu.ops.df64`.
+        Default "df64": df64 Pallas factors + Ozaki bf16 MXU formation +
+        f64 residuals — a straight f64 finish would fall back to XLA's
+        emulated f64 (matmul ~65x slower than f32 on v5e), and the
+        f32-factor + iterative-refinement design ("mixed", ops/mixed.py)
+        cannot reach the 1e-6 contract — its f32 PSD-safety shift makes
+        IR stagnate at ~3e-4 (measured, exp_finish_debug2); it stays
+        selectable as a documented negative result.  See
+        :mod:`pycllp_tpu.ops.df64`.
         """
-        fk = getattr(self, "_finish_kernels", None)
+        cache = getattr(self, "_finish_kernels", None)
+        if cache is None:
+            cache = self._finish_kernels = {}
+        fk = cache.get(which)
         if fk is None:
-            from pycllp_tpu.ops.df64 import DF64_FINISH_KERNELS
-
-            fk = self._finish_kernels = DF64_FINISH_KERNELS
+            if which == "df64":
+                from pycllp_tpu.ops.df64 import DF64_FINISH_KERNELS as fk
+            elif which == "df64_f64form":
+                from pycllp_tpu.ops.df64 import DF64_F64FORM_KERNELS as fk
+            elif which == "df64_fastform":
+                from pycllp_tpu.ops.df64 import DF64_FASTFORM_KERNELS as fk
+            elif which == "mixed":
+                from pycllp_tpu.ops.mixed import MIXED_FINISH_KERNELS as fk
+            elif which == "reference":
+                fk = REFERENCE_KERNELS
+            else:
+                raise ValueError(f"unknown finish kernel set {which!r}")
+            cache[which] = fk
         return fk
 
     def factor_and_solve(self, ctx, d, reg_eps, rs):

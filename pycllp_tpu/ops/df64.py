@@ -331,85 +331,154 @@ def _split_hi_lo(x64):
 
 
 # ---------------------------------------------------------------------------
-# Ozaki-scheme exact GEMM: ~2⁻⁴⁸-accurate W @ dᵀ from bf16 MXU passes
+# Ozaki-scheme exact GEMM: ~2⁻⁴⁹-accurate W @ dᵀ from bf16 MXU passes
 # ---------------------------------------------------------------------------
 #
 # XLA's emulated-f64 GEMM costs 98 ms for the 16K-lane 64² normal-matrix
 # formation (measured, experiments/exp_df64_single.py) — the single
 # largest wide-phase cost.  The Ozaki splitting (Ozaki et al. 2012)
-# replaces it with ~26 NATIVE bf16 MXU GEMMs whose accumulations are
-# EXACT, plus one fused f64 reduction:
+# replaces it with a handful of NATIVE bf16 MXU GEMMs whose f32
+# accumulations are EXACT, plus one fused f64 combine.
 #
-# * slice each operand along the contraction axis into s=8-bit bands
-#   relative to a per-row (W) / per-column (dᵀ) power-of-two quantum:
-#   slice k holds an integer multiple of q·2⁻ᵏˢ with |integer| < 2⁸ —
-#   exactly representable in bf16;
-# * a bf16×bf16→f32 MXU product of two slices is an integer ≤ 2¹⁴ times
-#   a fixed quantum; summing n=128 of them stays ≤ 2²¹ × quantum —
-#   EXACTLY representable in the f32 accumulator (24-bit mantissa), so
-#   each slice-pair GEMM is exact, not approximately rounded;
-# * keeping pairs with k+l ≤ OZAKI_CUT and f64-summing them yields the
-#   product to ~2^(−8·(OZAKI_CUT−1)) ABSOLUTE accuracy per output (the
-#   same backward-error class as the df64 factorization itself).
+# ROUND-3 ROOT-CAUSE NOTE (VERDICT.md r2 item 1): the round-2 version
+# sliced the f64 operands with a Veltkamp shift 1.5·e·2^(52−k·s) — an
+# IEEE-binary64 bit trick.  TPU f64 is EMULATED as an f32 pair
+# (double-double), where (R+σ)−σ does not round to a uniform quantum,
+# so every slice was garbage ON THE TARGET HARDWARE while the CPU test
+# suite (true f64) stayed green.  This rewrite uses NOTHING but IEEE
+# f32 arithmetic — identical semantics on TPU VPU and CPU — so the CPU
+# suite now genuinely covers the chip's slicing behavior:
+#
+# * each operand is normalized IN F64 by its per-row (W) / per-column
+#   (dᵀ) max (late-IPM d spans beyond f32 range — an f32-first split
+#   turns those columns into inf), split to an f32 (hi, lo) pair, and
+#   sliced into ``n_slices`` INTEGER-valued s-bit bands via f32
+#   Veltkamp shifts 1.5·2^(23−s·k); slice k holds ints ≤ 2^s — exact
+#   in bf16 — and the running remainder is carried as an f32 pair, so
+#   the bands capture ~s·n_slices ≥ 56 bits of the normalized value;
+# * slice pairs (k, l) are grouped by total level t = k+l; within a
+#   group all products share the EXACT quantum e_row·e_col·2^(−s·t), so
+#   the group's pairs are concatenated along the contraction axis into
+#   ONE bf16→f32 MXU GEMM: integer products ≤ 2^(2s) with ≤ n·g terms
+#   keeps every partial sum < 2²⁴ — exactly representable in the f32
+#   accumulator (the s/n_slices choice below enforces this bound);
+# * the cut−1 group results are combined in one fused f64 pass with the
+#   e_row ⊗ e_col outer scale.  Dropped pairs (t > cut) contribute
+#   ≤ 2^(−s·(cut−1)) of the output scale — below the df64 unit.
+#
+# Compile payload: cut−1 (= 7 at s=7) GEMMs total.  The round-2 version
+# unrolled 34, which (×3 wide-phase instantiations) was the single
+# largest contributor to the 244 s bench compile that timed out the
+# round-2 driver run.
 
-OZAKI_SLICES = 7  # 8-bit bands per operand (56 bits captured).  Measured
-# on wide-dynamic-range data (16-decade d): max error ≈ 2^(−8·ns+12.5)
-# of the output scale — 6 slices floor at 2e-11 (too close to the 1e-12
-# diagonal shift), 7 at ~8e-14.
-OZAKI_CUT = 9  # keep slice pairs with k+l ≤ cut (1-indexed): dropped-pair
-# error ≤ n·2^(−8(cut−2)) sits below the 7-slice truncation floor
+OZAKI_S = 7  # max bits per slice
+OZAKI_BITS = 66  # captured width per operand.  Sizing argument: the
+# Ozaki truncation error is ABSOLUTE — ≈ n·2^(−bits)·(row scale ×
+# column scale) — unlike the f64 einsum's entrywise-relative
+# (Cauchy–Schwarz-class) error, and the normal-equations solve
+# amplifies it by cond(M+δI) ≈ 1/reg_eps = 1e12.  Direction error
+# ≈ n·2^(−bits)·1e12 must sit at ~1e-7 for the 1e-6 polish:
+# 56 bits → 6e-4 (measured as a ρ_p floor of exactly that size —
+# the wide phase DIVERGED); 66 bits → 1e-7.
 
 
-def _ozaki_slice(X, axis, n_slices=OZAKI_SLICES, s=8):
-    """Slice f64 ``X`` into bf16-exact 8-bit bands along ``axis``.
+def ozaki_params(n: int, bits: int | None = None):
+    """(s, n_slices, cut) for contraction length ``n``.
 
-    Returns a list of f64 arrays (cast to bf16 at the GEMM) whose sum
-    equals X to ``n_slices*s`` bits relative to the per-slice quantum
-    (set by the max |X| over ``axis``).
+    Exactness constraint: a group GEMM accumulates ≤ n·n_slices integer
+    products of magnitude ≤ 2^(2s); every partial sum is an integer that
+    must stay ≤ 2²⁴ (inclusive — 2²⁴ itself is f32-exact).  Pick the
+    largest s satisfying it (fewer slices → fewer GEMMs), with
+    n_slices = ceil(bits/s).  ``PYCLLP_OZAKI_BITS`` overrides the
+    default width (accuracy/cost experiments).
     """
-    mx = jnp.max(jnp.abs(X), axis=axis, keepdims=True)
-    # smallest power of two > mx (strict, so |R|/q < 2^s exactly)
-    e = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(mx, jnp.asarray(1e-300, X.dtype)))) + 1.0)
+    import os
+
+    if bits is None:
+        bits = int(os.environ.get("PYCLLP_OZAKI_BITS", OZAKI_BITS))
+    for s in range(OZAKI_S, 2, -1):
+        n_slices = -(-bits // s)
+        if n * n_slices * (1 << (2 * s)) <= (1 << 24):
+            return s, n_slices, n_slices + 1
+    raise ValueError(f"contraction length {n} too large for exact Ozaki slicing")
+
+
+def _df_slice_int(X64, axis, *, s, n_slices):
+    """Slice f64 ``X64`` into integer-valued s-bit f32 bands along ``axis``.
+
+    Returns ``(slices, mx)``: per-``axis`` scale ``mx`` (f64) and a list
+    of ``n_slices`` f32 arrays with integer entries in [−2^s, 2^s] such
+    that  X64 ≈ mx · Σ_k slices[k] · 2^(−s·k)  to ~2^(−s·n_slices)
+    relative to ``mx``.
+
+    The normalization X/mx happens IN F64, before any f32 cast: the
+    late-IPM scaling d = x/z spans beyond f32 range (measured 5e47 on
+    the CPU oracle), and an f32-first split turns those columns into
+    inf — NaN-ing every lane's wide phase.  ``mx`` is an arbitrary f64
+    scale (not a power of two): integer-exactness of the slices comes
+    from the f32 Veltkamp rounds on the NORMALIZED values, and the
+    final combine multiplies by ``mx`` in f64 (a 2^-48-relative
+    multiply, the same class as the df64 factorization unit).
+    """
+    mx = jnp.max(jnp.abs(X64), axis=axis, keepdims=True)
+    mx = jnp.maximum(mx, jnp.asarray(jnp.finfo(jnp.float32).tiny, X64.dtype))
+    Rh, Rl = _split_hi_lo(X64 / mx)  # |Rh + Rl| ≤ 1 (+1 ulp)
     slices = []
-    R = X
     for k in range(1, n_slices + 1):
-        # Veltkamp-style constant: the 1.5 keeps the exponent of R+σ
-        # CONSTANT for either sign of R (a pure power-of-two σ halves
-        # the effective quantum when R < 0 — measured half-integer
-        # slices), so ulp(R+σ) = e·2^(−k·s) exactly.
-        sigma = 1.5 * e * (2.0 ** (52 - k * s))
-        Xk = (R + sigma) - sigma  # round R to that quantum (exact f64 ops)
-        slices.append(Xk)
-        R = R - Xk
-    return slices
+        # Quantize via jnp.round, NOT the classic Veltkamp (R+σ)−σ:
+        # under jit, XLA's algebraic simplifier CANCELS (x+σ)−σ → x for
+        # constant σ (verified on CPU, minimal repro in the round-3
+        # log), silently deleting the quantization on every backend —
+        # the actual root cause of the round-2 on-chip wide-phase
+        # breakage (bf16-rounded unquantized slices).  Pow2 scaling is
+        # exact; round-to-nearest-even at the 2^(−s·k) quantum is a
+        # real hardware op the simplifier cannot fold away.
+        Ik = jnp.round(Rh * jnp.float32(2.0 ** (s * k)))  # integer-valued
+        slices.append(Ik)
+        Xk = Ik * jnp.float32(2.0 ** (-s * k))
+        Rh, Rl = df_sub((Rh, Rl), (Xk, jnp.zeros_like(Xk)))
+    return slices, mx
 
 
-def _ozaki_matmul(W_slices, d64, *, n_slices=OZAKI_SLICES, cut=OZAKI_CUT):
-    """~2⁻⁴⁸-accurate ``W @ d64`` from exact bf16 MXU slice products.
+def _gemm_dtype():
+    # TPU MXU accumulates bf16×bf16 in f32 (exact for our integers); CPU
+    # backends accumulate bf16 dots IN bf16 (measured — destroys the
+    # exactness), so off-TPU the integer slices run as f32 (also exact).
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    ``W_slices``: precomputed ``_ozaki_slice(W, axis=1)`` (bf16 list).
-    ``d64``: (n, B) f64, sliced here along axis 0 (the contraction axis).
-    Returns f64 (m², B).
 
-    On TPU the slice GEMMs run native bf16→f32 on the MXU (exact by the
-    headroom argument above).  CPU backends accumulate bf16 dots IN
-    bf16 (measured — destroys the exactness), so off-TPU the slices are
-    upcast to f32, whose CPU dot accumulates exactly for these integers.
+def _ozaki_prepare(W64, *, s, n_slices, cut):
+    """Precompute per-group concatenated slice blocks of ``W`` (m², n).
+
+    Group t's block stacks slices [max(1, t−n_slices) … t−1] along the
+    contraction axis (the order the d-side group concatenation mirrors,
+    reversed).  Returns (tuple of per-group blocks, per-row scale).
     """
-    gemm_t = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    d_slices = [
-        dk.astype(gemm_t) for dk in _ozaki_slice(d64, axis=0, n_slices=n_slices)
-    ]
+    sl, e = _df_slice_int(jnp.asarray(W64, jnp.float64), axis=1, s=s, n_slices=n_slices)
+    gt = _gemm_dtype()
+    groups = []
+    for t in range(2, cut + 1):
+        ks = range(max(1, t - n_slices), min(n_slices, t - 1) + 1)
+        groups.append(jnp.concatenate([sl[k - 1] for k in ks], axis=1).astype(gt))
+    return tuple(groups), e
+
+
+def _ozaki_matmul(W_groups, We, d64, *, s, n_slices, cut):
+    """~2^(−s·(cut−1))-accurate ``W @ d64`` from exact bf16 MXU GEMMs.
+
+    ``W_groups``/``We``: from :func:`_ozaki_prepare`.  ``d64``: (n, B)
+    f64, sliced here along axis 0.  Returns f64 (m², B).
+    """
+    dsl, de = _df_slice_int(jnp.asarray(d64, jnp.float64), axis=0, s=s, n_slices=n_slices)
+    gt = _gemm_dtype()
     acc = None
-    for k, Wk in enumerate(W_slices, start=1):
-        for l, dl in enumerate(d_slices, start=1):
-            if k + l > cut:
-                continue
-            P = jnp.dot(
-                Wk.astype(gemm_t), dl, preferred_element_type=jnp.float32
-            )
-            acc = P.astype(jnp.float64) if acc is None else acc + P.astype(jnp.float64)
-    return acc
+    for t, Wg in zip(range(2, cut + 1), W_groups):
+        ks = range(max(1, t - n_slices), min(n_slices, t - 1) + 1)
+        Dg = jnp.concatenate([dsl[t - k - 1] for k in ks], axis=0).astype(gt)
+        G = jnp.dot(Wg, Dg, preferred_element_type=jnp.float32)
+        term = G.astype(jnp.float64) * (2.0 ** (-s * t))
+        acc = term if acc is None else acc + term
+    return acc * (We.astype(jnp.float64) * de.astype(jnp.float64))
 
 
 # ---------------------------------------------------------------------------
@@ -423,7 +492,9 @@ class PreparedDF(typing.NamedTuple):
     W: typing.Any  # (m², n) f64 self-outer-product, or None for 3-D A
     Wh: typing.Any  # f32 hi/lo split of W (fast-formation GEMM inputs)
     Wl: typing.Any
-    Woz: typing.Any  # tuple of bf16 Ozaki slices of W, or None
+    Woz: typing.Any  # (per-group integer slice blocks, e_row) or None
+    # NOTE: the static (s, n_slices, cut) are re-derived from A.shape via
+    # ozaki_params() wherever needed — shapes are static under jit.
 
 
 class DFFactor(typing.NamedTuple):
@@ -450,11 +521,13 @@ class DoubleSingleKernels(KernelSet):
     name = "pallas_df64"
 
     def __init__(self, form: str = "ozaki"):
-        # How the (shared-A) normal matrix is formed, measured per
-        # 16K-lane 64² formation on v5e (experiments/, 2026-08-19):
-        #   "f64"   XLA's emulated-f64 GEMM — 98 ms, ~2⁻⁴⁸ accurate
-        #   "ozaki" ~26 EXACT bf16 MXU slice GEMMs + f64 sum — ~2⁻⁴⁸
-        #           absolute accuracy at a fraction of the cost
+        # How the (shared-A) normal matrix is formed:
+        #   "f64"   XLA's emulated-f64 GEMM — 98 ms per 16K-lane 64²
+        #           formation on v5e (measured 2026-08-19), ~2⁻⁴⁸
+        #   "ozaki" 7 grouped EXACT bf16 MXU slice GEMMs + one fused
+        #           f64 combine — ~2⁻⁴⁹ of the output scale at a small
+        #           fraction of the f64 cost (round-3 TPU-exact rewrite;
+        #           see the root-cause note above _pow2_above)
         #   "fast"  3 f32 GEMMs on hi/lo splits — f32-ACCUMULATION
         #           accuracy (~1e-6): measured UNUSABLE for the 1e-12
         #           shift (15.8K/16.4K lanes NUMERICAL); kept only as a
@@ -471,9 +544,10 @@ class DoubleSingleKernels(KernelSet):
         m, n = A.shape
         W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
         Wh, Wl = _split_hi_lo(W)
-        Woz = tuple(
-            wk.astype(jnp.bfloat16) for wk in _ozaki_slice(W, axis=1)
-        )
+        Woz = None
+        if self.form == "ozaki":
+            s, n_slices, cut = ozaki_params(n)
+            Woz = _ozaki_prepare(W, s=s, n_slices=n_slices, cut=cut)
         return PreparedDF(A=A, Asq=A * A, W=W, Wh=Wh, Wl=Wl, Woz=Woz)
 
     def mv(self, ctx, x):
@@ -494,7 +568,10 @@ class DoubleSingleKernels(KernelSet):
             M = jnp.einsum("bmn,bn,bkn->mkb", ctx.A, d, ctx.A)
             Mh, Ml = _split_hi_lo(_pad_lanes(M, B))
         elif self.form == "ozaki":
-            M = _ozaki_matmul(ctx.Woz, d.T).reshape(m, m, -1)
+            s, n_slices, cut = ozaki_params(ctx.A.shape[-1])
+            M = _ozaki_matmul(
+                ctx.Woz[0], ctx.Woz[1], d.T, s=s, n_slices=n_slices, cut=cut
+            ).reshape(m, m, -1)
             Mh, Ml = _split_hi_lo(_pad_lanes(M, B))
         elif self.form == "fast":
             dh, dl = _split_hi_lo(d.T)

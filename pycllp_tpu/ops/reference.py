@@ -78,12 +78,13 @@ class KernelSet:
         ctx = fac.ctx
         return self.mv(ctx, fac.d * self.rmv(ctx, v)) + fac.reg[..., None] * v
 
-    def finish_kernels(self) -> "KernelSet":
+    def finish_kernels(self, which: str = "df64") -> "KernelSet":
         """Kernel set for the wide-dtype finish phase (default: self).
 
         Implementations whose fast path is narrow-only override this to
-        return a mixed-precision wrapper so the finish phase keeps its
-        O(m³) work in the narrow kernels (see pycllp_tpu.ops.mixed)."""
+        return a wide-capable sibling selected by ``which``
+        (``SolverOptions.finish_kset``); sets that are already
+        wide-capable ignore the selector."""
         return self
 
     def __repr__(self):

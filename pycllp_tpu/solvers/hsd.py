@@ -445,8 +445,14 @@ def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
         best_kappa=jnp.where(improved, s.kappa, s.best_kappa),
         best_score=jnp.where(improved, score, s.best_score),
     )
-    # non-terminated lanes answer with their best iterate
-    use_best = (s.status == _RUNNING) | (s.status == jnp.int32(int(Status.STALLED)))
+    # non-terminated lanes answer with their best iterate — including
+    # NUMERICAL ones (VERDICT r2 item 4): a lane whose wide step NaN'd
+    # keeps its last finite iterate in x, but its tracked best (often a
+    # phase-1 point) can be strictly better; the tracker only ever
+    # accepts finite scores, so this is safe.
+    stalled = s.status == jnp.int32(int(Status.STALLED))
+    numerical = s.status == jnp.int32(int(Status.NUMERICAL))
+    use_best = (s.status == _RUNNING) | stalled | numerical
     ubn = use_best[..., None]
     x = jnp.where(ubn, s.best_x, s.x)
     y = jnp.where(ubn, s.best_y, s.y)
@@ -457,17 +463,20 @@ def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
     rp, rd, rg, mu = _residuals(ctx, b, c, x, y, z, tau, kappa, kset)
     by = jnp.sum(b * y, axis=-1)
     ind = _indicators(rp, rd, rg, mu, tau, kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
-    # STALLED lanes are re-opened for this final test: if their best
-    # iterate meets tol after all, they are OPTIMAL.
-    stalled = s.status == jnp.int32(int(Status.STALLED))
-    status_open = jnp.where(stalled, _RUNNING, s.status)
+    # STALLED/NUMERICAL lanes are re-opened for this final test: if the
+    # best iterate meets tol after all, they are OPTIMAL.
+    status_open = jnp.where(stalled | numerical, _RUNNING, s.status)
     status = _classify(ind, tau, kappa, status_open, tol)
     status = jnp.where(
         status == _RUNNING,
         jnp.where(
             stalled,
             jnp.int32(int(Status.STALLED)),
-            jnp.int32(int(Status.ITERATION_LIMIT)),
+            jnp.where(
+                numerical,
+                jnp.int32(int(Status.NUMERICAL)),
+                jnp.int32(int(Status.ITERATION_LIMIT)),
+            ),
         ),
         status,
     )
@@ -485,11 +494,19 @@ def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
     make the finish phase REGRESS accuracy (6.9e-3 vs 2.7e-4 max on the
     64² bench, 2026-08-19).
     """
-    rp, rd, rg, mu = _residuals(ctx, b, c, s.x, s.y, s.z, s.tau, s.kappa, kset)
-    by = jnp.sum(b * s.y, axis=-1)
-    ind = _indicators(rp, rd, rg, mu, s.tau, s.kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
-    score = jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
-    use_best = ~jnp.isfinite(score) | (s.best_score < score)
+    def score_of(x, y, z, tau, kappa):
+        rp, rd, rg, mu = _residuals(ctx, b, c, x, y, z, tau, kappa, kset)
+        by = jnp.sum(b * y, axis=-1)
+        ind = _indicators(rp, rd, rg, mu, tau, kappa, by, s.rp0, s.rd0, s.rg0, s.mu0)
+        return jnp.maximum(jnp.maximum(ind.rho_p, ind.rho_d), ind.rho_A)
+
+    # re-score BOTH candidates in the current dtype: comparing a freshly
+    # recomputed score of x against the narrower-dtype RECORDED score of
+    # best_x can pick the worse point (measured: a poisoned-finish lane
+    # answering 9.5e-7 when its narrow best was 2.2e-7)
+    score = score_of(s.x, s.y, s.z, s.tau, s.kappa)
+    score_b = score_of(s.best_x, s.best_y, s.best_z, s.best_tau, s.best_kappa)
+    use_best = ~jnp.isfinite(score) | (jnp.isfinite(score_b) & (score_b < score))
     ubn = use_best[..., None]
     return s._replace(
         x=jnp.where(ubn, s.best_x, s.x),
@@ -734,7 +751,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         # (f32 Pallas factors + f64 refinement) so the O(m³) work stays
         # on the fast path — see KernelSet.finish_kernels.
         fdtype = jnp.dtype(opts.finish_dtype)
-        fkset = kset.finish_kernels()
+        fkset = kset.finish_kernels(opts.finish_kset)
         A_f, b_f, c_f = A_sw, b_sw, c_sw
         state = _fold_to_best(ctx, b_s, c_s, state, kset)
         ctx = fkset.prepare(A_f)
@@ -968,7 +985,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             return tuple(outs[k] for k in keys)
 
         # ---- stage 3: wide finish over ALL lanes, scanned per chunk ----
-        fkset = kset.finish_kernels()
+        fkset = kset.finish_kernels(opts.finish_kset)
         fctx = fkset.prepare(A_sw)
         sflat = _fold_to_best(ctx, b_sf, c_sf, sflat, kset)
         sflat = _cast_state(sflat, wide)

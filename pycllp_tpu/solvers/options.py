@@ -105,6 +105,16 @@ class SolverOptions:
     finish_dtype: str | None = None
     finish_maxiter: int = 20
     switch_tol: float = 1e-3
+    finish_kset: str = "df64"  # which wide-phase kernel sibling the base
+    # kernel set substitutes (KernelSet.finish_kernels selector):
+    #   "df64"          df64 Pallas factors + Ozaki bf16 MXU formation
+    #   "df64_f64form"  df64 Pallas factors + XLA emulated-f64 formation
+    #                   (slower; the on-chip bisect baseline)
+    #   "mixed"         f32 Pallas factors + f64 iterative refinement —
+    #                   CANNOT reach 1e-6 (documented negative result,
+    #                   ops/mixed.py); selectable for experiments
+    #   "reference"     XLA f64 everything (the correctness oracle)
+    # Sets without siblings (ReferenceKernels) ignore this.
     finish_patience: int = 8  # stall clock for the wide finish phase
     # (stall_rtol is reset to 0 there): the narrow phase's aggressive
     # clock is tuned for the f32 indicator floor; wide solves make real

@@ -62,35 +62,65 @@ class TestDFArithmetic:
 
 
 class TestOzakiFormation:
-    def test_exact_gemm_wide_dynamic_range(self):
-        """Ozaki slice GEMM ≈ f64 GEMM to ≲1e-13 of the output scale on
-        16-decade-spread d (the late-IPM regime that broke the plain
-        f32 split-GEMM formation)."""
-        from pycllp_tpu.ops.df64 import _ozaki_matmul, _ozaki_slice
+    @pytest.mark.parametrize("n,B", [(48, 256), (200, 128)])
+    def test_exact_gemm_wide_dynamic_range(self, n, B):
+        """Grouped integer-slice GEMM ≈ f64 GEMM to ≲1e-13 of the output
+        scale on 16-decade-spread d (the late-IPM regime that broke the
+        plain f32 split-GEMM formation)."""
+        from pycllp_tpu.ops.df64 import _ozaki_matmul, _ozaki_prepare, ozaki_params
 
         rng = np.random.default_rng(0)
-        m, n, B = 24, 48, 256
+        m = 24
         A = rng.standard_normal((m, n))
         W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
         d = np.exp(rng.uniform(-18, 18, (n, B)))
-        Woz = tuple(
-            wk.astype(jnp.bfloat16) for wk in _ozaki_slice(jnp.asarray(W), axis=1)
+        s, n_slices, cut = ozaki_params(n)
+        Wg, We = _ozaki_prepare(jnp.asarray(W), s=s, n_slices=n_slices, cut=cut)
+        P = np.asarray(
+            _ozaki_matmul(Wg, We, jnp.asarray(d), s=s, n_slices=n_slices, cut=cut)
         )
-        P = np.asarray(_ozaki_matmul(Woz, jnp.asarray(d)))
         ref = W @ d
         scale = np.abs(W) @ d
         err = (np.abs(P - ref) / np.maximum(scale, 1e-300)).max()
         assert err < 1e-12, f"abs-scaled err {err:.2e}"
 
-    def test_slices_are_bf16_exact(self):
-        from pycllp_tpu.ops.df64 import _ozaki_slice
+    def test_slices_are_integer_bf16_exact(self):
+        """Every slice entry is an integer ≤ 2^s — the property that makes
+        the bf16 cast and the grouped f32 MXU accumulation exact."""
+        from pycllp_tpu.ops.df64 import _df_slice_int, ozaki_params
 
         rng = np.random.default_rng(1)
         X = rng.standard_normal((100, 32)) * np.exp(rng.uniform(-9, 9, (100, 32)))
-        for sl in _ozaki_slice(jnp.asarray(X), axis=1):
+        # one row far beyond f32 range: the f64-first normalization must
+        # keep it sliceable (the round-3 late-IPM NaN root cause)
+        X[0] *= 1e45
+        s, n_slices, _ = ozaki_params(32)
+        slices, e = _df_slice_int(jnp.asarray(X), axis=1, s=s, n_slices=n_slices)
+        recon = np.zeros_like(X)
+        for k, sl in enumerate(slices, start=1):
             sl64 = np.asarray(sl, np.float64)
+            assert np.array_equal(sl64, np.round(sl64)), "non-integer slice"
+            assert np.abs(sl64).max() <= 2.0**s
             cast = np.asarray(jnp.asarray(sl).astype(jnp.bfloat16), np.float64)
-            assert np.array_equal(sl64, cast)
+            assert np.array_equal(sl64, cast), "bf16 cast not exact"
+            recon += sl64 * 2.0 ** (-s * k)
+        recon *= np.asarray(e, np.float64)
+        # slicing must capture X to ~2^(-s·n_slices) of the per-row max
+        # (the f32 pair split inside contributes ~2^-49, above the
+        # truncation floor but far below the factorization's needs)
+        mx = np.abs(X).max(axis=1, keepdims=True)
+        assert (np.abs(recon - X) / mx).max() < 2.0**-48
+
+    def test_ozaki_params_accumulation_bound(self):
+        """For every supported contraction length the chosen (s, slices)
+        keep the worst-case grouped f32 accumulation below 2^24."""
+        from pycllp_tpu.ops.df64 import ozaki_params
+
+        for n in (32, 128, 146, 200, 455, 1024, 2048, 4096):
+            s, n_slices, cut = ozaki_params(n)
+            assert n * n_slices * 4**s <= 2**24
+            assert s * n_slices >= 56
+            assert cut == n_slices + 1
 
 
 class TestDFFactorSolve:

@@ -311,3 +311,140 @@ class TestMehrotraStart:
         assert np.all(np.asarray(warm["status"]) == int(Status.OPTIMAL))
         assert np.asarray(warm["iterations"]).mean() <= np.asarray(plain["iterations"]).mean() + 0.5
         print("plain", np.asarray(plain["iterations"]).mean(), "warm", np.asarray(warm["iterations"]).mean())
+
+
+class TestNumericalBestIterate:
+    """VERDICT r2 item 4: a lane whose wide phase breaks down numerically
+    must still answer with its tracked best iterate — never worse than
+    the narrow phase alone."""
+
+    def test_poisoned_finish_keeps_narrow_best(self):
+        from pycllp_tpu.ops.reference import REFERENCE_KERNELS, KernelSet
+
+        class PoisonedFinish(KernelSet):
+            """Delegates to the reference kernels but returns NaN solves —
+            a deterministic stand-in for a wide-phase numerical breakdown."""
+
+            name = "poisoned_finish"
+
+            def prepare(self, A):
+                return REFERENCE_KERNELS.prepare(A)
+
+            def mv(self, ctx, x):
+                return REFERENCE_KERNELS.mv(ctx, x)
+
+            def rmv(self, ctx, y):
+                return REFERENCE_KERNELS.rmv(ctx, y)
+
+            def factor(self, ctx, d, reg_eps):
+                return REFERENCE_KERNELS.factor(ctx, d, reg_eps)
+
+            def solve(self, fac, rs):
+                return tuple(jnp.full_like(r, jnp.nan) for r in rs)
+
+        class NarrowWithPoisonedFinish(KernelSet):
+            name = "narrow_poisoned"
+
+            def __init__(self):
+                self._poison = PoisonedFinish()
+
+            def prepare(self, A):
+                return REFERENCE_KERNELS.prepare(A)
+
+            def mv(self, ctx, x):
+                return REFERENCE_KERNELS.mv(ctx, x)
+
+            def rmv(self, ctx, y):
+                return REFERENCE_KERNELS.rmv(ctx, y)
+
+            def factor(self, ctx, d, reg_eps):
+                return REFERENCE_KERNELS.factor(ctx, d, reg_eps)
+
+            def solve(self, fac, rs):
+                return REFERENCE_KERNELS.solve(fac, rs)
+
+            def finish_kernels(self):
+                return self._poison
+
+        m, n, B = 16, 40, 16
+        A, _, _ = random_equality_lp(m, n, seed=21)
+        rng = np.random.default_rng(22)
+        b = rng.uniform(0.1, 1.0, size=(B, n)) @ A.T
+        c = rng.normal(size=(B, m)) @ A + rng.uniform(0.1, 1.0, size=(B, n))
+        # the narrow baseline mirrors what phase 1 of the finish config
+        # sees: with a finish phase, phase 1 runs at switch_tol (1e-5)
+        narrow_opts = SolverOptions(tol=1e-5, dtype="float32", maxiter=30)
+        narrow = hsd_solve_batched(
+            np.asarray(A, np.float32), np.asarray(b, np.float32),
+            np.asarray(c, np.float32), narrow_opts,
+        )
+        poisoned_opts = narrow_opts.replace(
+            tol=1e-6, finish_dtype="float64", switch_tol=1e-5, finish_maxiter=10
+        )
+        kset = NarrowWithPoisonedFinish()
+        out = hsd_solve_batched(
+            np.asarray(A, np.float32), np.asarray(b, np.float32),
+            np.asarray(c, np.float32), poisoned_opts, kset,
+        )
+        status = np.asarray(out["status"])
+        # every lane's first wide step NaNs -> NUMERICAL (none can have
+        # met the 1e-6 contract before the wide phase at f32)
+        assert np.all(status == int(Status.NUMERICAL)), status
+        # ...but the batch answers at the narrow phase's quality floor.
+        # (Per-lane equality with a separate narrow run is not testable:
+        # the finish config computes Ruiz scaling in f64 and rounds,
+        # which perturbs the f32 trajectory at the ulp level.)
+        errs_p, errs_n = [], []
+        for i in range(B):
+            ref_obj, _ = scipy_objective(A, b[i], c[i])
+            scale = max(1.0, abs(ref_obj))
+            errs_p.append(abs(float(out["objective"][i]) - ref_obj) / scale)
+            errs_n.append(abs(float(narrow["objective"][i]) - ref_obj) / scale)
+        assert max(errs_p) <= max(errs_n) * 2.5 + 1e-7, (
+            f"poisoned-finish max err {max(errs_p):.2e} vs narrow {max(errs_n):.2e}"
+        )
+
+    def test_finalize_numerical_takes_best(self):
+        """Unit test of the fix: _finalize must answer with the tracked
+        best iterate for NUMERICAL lanes and re-open them (OPTIMAL if the
+        best point meets tol after all)."""
+        from pycllp_tpu.ops.reference import REFERENCE_KERNELS
+        from pycllp_tpu.solvers.hsd import HSDState, _finalize, _fresh_state, _run_phase
+
+        m, n = 12, 30
+        A, b, c = random_equality_lp(m, n, seed=23)
+        A, b, c = (jnp.asarray(v) for v in (A, b, c))
+        bB, cB = b[None], c[None]
+        ctx = REFERENCE_KERNELS.prepare(A)
+        opts = SolverOptions(tol=1e-9, maxiter=50)
+        s = _fresh_state(ctx, bB, cB, opts, REFERENCE_KERNELS, jnp.float64)
+        s = _run_phase(
+            ctx, bB, cB, s, opts, REFERENCE_KERNELS, jnp.float64, 1e-9, 50, jnp.any
+        )
+        assert int(s.status[0]) == int(Status.OPTIMAL)
+        good = s  # converged state: its iterate meets 1e-9
+        # build a NUMERICAL state whose CURRENT iterate is garbage but
+        # whose best trackers hold the converged point
+        bad = good._replace(
+            x=jnp.abs(good.x) + 17.0,
+            y=good.y + 3.0,
+            z=jnp.abs(good.z) + 5.0,
+            status=jnp.full_like(good.status, int(Status.NUMERICAL)),
+            best_x=good.x,
+            best_y=good.y,
+            best_z=good.z,
+            best_tau=good.tau,
+            best_kappa=good.kappa,
+            best_score=jnp.full_like(good.best_score, 1e-10),
+        )
+        x, yv, zv, tau, kappa, status, ind = _finalize(
+            ctx, bB, cB, bad, REFERENCE_KERNELS, 1e-6
+        )
+        np.testing.assert_allclose(np.asarray(x), np.asarray(good.x))
+        # the best point meets tol -> re-opened and classified OPTIMAL
+        assert int(status[0]) == int(Status.OPTIMAL)
+        # and a NUMERICAL lane whose best does NOT meet tol stays NUMERICAL
+        _, _, _, _, _, status2, _ = _finalize(
+            ctx, bB, cB, bad, REFERENCE_KERNELS, 1e-15
+        )
+        assert int(status2[0]) == int(Status.NUMERICAL)
