@@ -75,8 +75,12 @@ def bench_options() -> SolverOptions:
     # "Correctness" row).  BENCH_FINISH=0 gives the round-1 narrow-only
     # best-effort config (~1e-4 objective accuracy) for comparison.
     fin = dict(finish_dtype="float64", switch_tol=1e-5, finish_maxiter=20) if FINISH else {}
+    # tol 2e-7, not 1e-6: the contract's audit normalizes by max(1,|f|),
+    # while rho_A normalizes by τ+|bᵀy| — solving ~4x past 1e-6 keeps the
+    # audited objective error under 1e-6 (measured: tol 1e-6 → audit max
+    # 5.1e-6; tol 2e-7 → 1.9e-7 on the 32²×256 workload)
     return SolverOptions(
-        tol=1e-6 if FINISH else 1e-5,
+        tol=2e-7 if FINISH else 1e-5,
         maxiter=40,
         dtype="float32",
         stall_patience=int(os.environ.get("BENCH_PATIENCE", 3)),

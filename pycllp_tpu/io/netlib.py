@@ -1,20 +1,33 @@
 """Netlib-style LP fixtures.
 
 BASELINE.json config 4 calls for a netlib subset (afiro, adlittle,
-sc50a) batched with padding/masking.  This environment has no network
-access and the reference mount is empty (SURVEY.md §0), so real netlib
-MPS files cannot be fetched; instead this module
+sc50a) batched with padding/masking.
 
-* loads real netlib MPS files from ``PYCLLP_NETLIB_DIR`` when the user
-  provides them, and
-* ships deterministic synthetic stand-ins at the same scales
-  (rows×cols: afiro 27×32, adlittle 56×97, sc50a 50×48) with planted
-  optima, exercising the same heterogeneous-size padding/masking path.
+PERMANENT DISPOSITION on real netlib data (VERDICT.md r2 item 7,
+recorded 2026-08-19, round 3): this build environment has no network
+access in any round (SURVEY.md §0 documents the failed fetches), the
+reference mount is empty, and a full-disk search finds no MPS/SIF files
+anywhere in the image.  The literal netlib coefficient files therefore
+CANNOT be embedded without fabricating them — reconstructing ~83–424
+nonzeros per problem from memory cannot be validated here beyond the
+single published optimum and would risk shipping wrong "real" data, so
+it is deliberately not done.  What this module guarantees instead:
+
+* real netlib MPS/SIF files are loaded from ``PYCLLP_NETLIB_DIR``
+  whenever a user provides them (the code path is tested through the
+  same reader), and
+* deterministic synthetic stand-ins at the exact netlib scales
+  (rows×cols: afiro 27×32, adlittle 56×97, sc50a 50×48) with PINNED
+  optimal objectives (``FIXTURE_OBJECTIVES``, verified against
+  ``scipy.optimize.linprog``) are asserted through the full
+  GeneralLP → StandardLP → registry-solver chain, exercising the same
+  heterogeneous-size padding/masking path config 4 exists to test.
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -24,6 +37,8 @@ from pycllp_tpu.models import GeneralLP, StandardLP
 
 __all__ = [
     "NETLIB_SCALES",
+    "FIXTURE_OBJECTIVES",
+    "REAL_NETLIB_OBJECTIVES",
     "load_fixture",
     "fixture_names",
     "pad_and_mask",
@@ -35,6 +50,24 @@ NETLIB_SCALES = {
     "afiro": (27, 32),
     "adlittle": (56, 97),
     "sc50a": (50, 48),
+}
+
+# Pinned optima of the SYNTHETIC stand-ins (max-form objective of the
+# StandardLP produced by ``load_fixture(name).lp.to_standard_form()``),
+# verified against scipy.optimize.linprog(method="highs") on f64.
+# Regression anchors for the full model→solver chain; NOT the published
+# netlib optima (see the module docstring's disposition).  The real
+# problems' published optima, for when PYCLLP_NETLIB_DIR supplies them:
+# afiro -464.75314286, adlittle +225494.96316, sc50a -64.575077059.
+FIXTURE_OBJECTIVES = {
+    "afiro": -1.9398662763559709,
+    "adlittle": 28.093108065754983,
+    "sc50a": -7.350643059808046,
+}
+REAL_NETLIB_OBJECTIVES = {
+    "afiro": -464.75314286,
+    "adlittle": 225494.96316,
+    "sc50a": -64.575077059,
 }
 
 
@@ -55,7 +88,9 @@ def load_fixture(name: str) -> MPSProblem:
     if name not in NETLIB_SCALES:
         raise KeyError(f"unknown fixture {name!r}; have {fixture_names()}")
     m, n = NETLIB_SCALES[name]
-    std = random_standard_lp(m, n, seed=abs(hash(name)) % (2**31))
+    # zlib.crc32, NOT hash(): str hash is salted per process, which made
+    # the "deterministic" fixtures differ between runs (round-3 find)
+    std = random_standard_lp(m, n, seed=zlib.crc32(name.encode()) % (2**31))
     glp = GeneralLP(
         A=np.asarray(std.A),
         row_ub=np.asarray(std.b),

@@ -517,6 +517,52 @@ def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
     )
 
 
+def _restart_merge(state: HSDState, fresh: HSDState, retry) -> HSDState:
+    """Merge a fresh start into ``state`` for the ``retry`` lanes.
+
+    Fresh-restart fallback for lanes the wide phase left unfinished:
+    phase 1's f32 floor can leave a lane so far off the central path
+    that the wide continuation stalls recentring within its patience —
+    measured on a 32²×256 workload: 9/256 lanes STALLED at ~3e-3
+    objective error through EVERY finish kernel set (including the
+    XLA-f64 oracle), while a cold f64 solve of the same instances
+    converges in ≤10 iterations.  Retry lanes take the fresh iterates
+    and normalizers but KEEP their old best trackers (best-iterate
+    insurance: a failed restart can never answer worse than the old
+    best); the loop clock restarts at 0.
+    """
+    rn = retry[..., None]
+    return HSDState(
+        x=jnp.where(rn, fresh.x, state.x),
+        y=jnp.where(rn, fresh.y, state.y),
+        z=jnp.where(rn, fresh.z, state.z),
+        tau=jnp.where(retry, fresh.tau, state.tau),
+        kappa=jnp.where(retry, fresh.kappa, state.kappa),
+        status=jnp.where(retry, _RUNNING, state.status),
+        iterations=state.iterations,
+        k=jnp.int32(0),
+        rp0=jnp.where(retry, fresh.rp0, state.rp0),
+        rd0=jnp.where(retry, fresh.rd0, state.rd0),
+        rg0=jnp.where(retry, fresh.rg0, state.rg0),
+        mu0=jnp.where(retry, fresh.mu0, state.mu0),
+        best_x=state.best_x,
+        best_y=state.best_y,
+        best_z=state.best_z,
+        best_tau=state.best_tau,
+        best_kappa=state.best_kappa,
+        best_score=state.best_score,
+        best_k=jnp.zeros_like(state.best_k),
+    )
+
+
+def _retry_mask(status):
+    return (
+        (status == _RUNNING)
+        | (status == jnp.int32(int(Status.STALLED)))
+        | (status == jnp.int32(int(Status.NUMERICAL)))
+    )
+
+
 def _mehrotra_start(ctx, b, c, kset: KernelSet, reg_eps):
     """Mehrotra's least-squares starting point, HSD-adapted.
 
@@ -779,6 +825,19 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             opts.maxiter + opts.finish_maxiter,
             reduce_any,
         )
+        if opts.finish_restart:
+            # fresh-restart fallback for wide-stalled lanes (see
+            # _restart_merge): whole-batch masked — finished lanes stay
+            # frozen, unfinished ones rerun from a cold Mehrotra start.
+            retry = _retry_mask(state.status)
+            fresh = _fresh_state(
+                ctx, b_f, c_f, opts.replace(init_point="mehrotra"), fkset, fdtype
+            )
+            state = _restart_merge(state, fresh, retry)
+            state = _run_phase(
+                ctx, b_f, c_f, state, wopts, fkset, fdtype, opts.tol,
+                opts.finish_maxiter + 10, reduce_any,
+            )
         return _package(ctx, b_f, c_f, state, fkset, opts, scaling, c_w)
 
     return _package(ctx, b_s, c_s, state, kset, opts, scaling, c_w)
@@ -840,27 +899,41 @@ def _hsd_scan_core(A, b3, c3, opts, kset, keys, warm_chain=False):
     return res
 
 
-def _compact_resume(ctx, b_sf, c_sf, sflat, opts, kset, dtype, tol, maxiter, bucket):
+def _compact_resume(
+    ctx, b_sf, c_sf, sflat, opts, kset, dtype, tol, maxiter, bucket, restart=False
+):
     """Compact the still-RUNNING lanes on device and resume them warm.
 
     Stable argsort of the finished mask → gather the full interior state
     of up to ``bucket`` unfinished lanes into one dense batch, run the
     masked loop with the remaining budget, scatter the state back.  Lanes
     beyond ``bucket`` (overflow) keep their capped state.
+
+    ``restart=True``: additionally gather STALLED/NUMERICAL lanes and
+    rerun them from a COLD Mehrotra start instead of their own state
+    (the wide-phase fresh-restart fallback — see _restart_merge); old
+    best trackers are preserved so a failed restart cannot regress.
     """
-    unfinished = sflat.status == _RUNNING
+    unfinished = _retry_mask(sflat.status) if restart else (sflat.status == _RUNNING)
     idx = jnp.argsort(~unfinished)[:bucket]
     take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
     state2 = HSDState(*[take(v) for v in sflat])
-    # restart the stall clock at the resume point: gathered lanes carry a
-    # best_k from their own (earlier) clock, and the shared scalar k may
-    # have jumped far past it — without the reset a resumed lane can be
-    # declared STALLED before taking a single step.
-    state2 = state2._replace(best_k=jnp.full_like(state2.best_k, state2.k))
+    resumed = unfinished[idx]
+    if restart:
+        fresh = _fresh_state(
+            ctx, b_sf[idx], c_sf[idx], opts.replace(init_point="mehrotra"), kset, dtype
+        )
+        state2 = _restart_merge(state2, fresh, resumed)
+    else:
+        # restart the stall clock at the resume point: gathered lanes
+        # carry a best_k from their own (earlier) clock, and the shared
+        # scalar k may have jumped far past it — without the reset a
+        # resumed lane can be declared STALLED before taking a single
+        # step.
+        state2 = state2._replace(best_k=jnp.full_like(state2.best_k, state2.k))
     state2 = _run_phase(
         ctx, b_sf[idx], c_sf[idx], state2, opts, kset, dtype, tol, maxiter, jnp.any
     )
-    resumed = unfinished[idx]
     merged = {}
     for name, v in sflat._asdict().items():
         if not getattr(v, "ndim", 0):  # scalar loop counter
@@ -1031,12 +1104,19 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         # stay RUNNING and round 2 gathers them; measured 2,913 overflow
         # lanes answering at 1e-4 with a single round, 2026-08-19) ----
         # the shared scalar loop-clock k advances across rounds, so each
-        # round's budget must extend past the previous round's endpoint
-        for r in range(2):
-            sflat = _compact_resume(
-                fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-                finish_cap + (r + 1) * opts.finish_maxiter, bucket,
-            )
+        # round's budget must extend past the previous round's endpoint.
+        # Round 2 doubles as the fresh-restart fallback: it regathers
+        # STALLED/NUMERICAL lanes and reruns them from a cold Mehrotra
+        # start (see _restart_merge / _compact_resume(restart=True)).
+        sflat = _compact_resume(
+            fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
+            finish_cap + opts.finish_maxiter, bucket,
+        )
+        sflat = _compact_resume(
+            fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
+            finish_cap + 2 * opts.finish_maxiter, bucket,
+            restart=opts.finish_restart,
+        )
         outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
         return tuple(outs[k] for k in keys)
 

@@ -119,6 +119,14 @@ class SolverOptions:
     # (stall_rtol is reset to 0 there): the narrow phase's aggressive
     # clock is tuned for the f32 indicator floor; wide solves make real
     # progress every iteration and must not be frozen early.
+    finish_restart: bool = True  # fresh-restart fallback: lanes the wide
+    # phase leaves STALLED/NUMERICAL/unfinished are rerun once from a
+    # cold Mehrotra start in the wide dtype (old best iterate kept as
+    # insurance).  Phase 1's f32 floor can leave a lane too far off the
+    # central path for the wide continuation to recentre within its
+    # stall patience — measured: 9/256 lanes stalled at ~3e-3 objective
+    # error through every finish kernel set, while cold f64 solves of
+    # the same instances converge in <=10 iterations.
     finish_gondzio: int = 0  # Gondzio centrality correctors in the wide
     # phase only.  Wide factorizations are the expensive resource (df64
     # Pallas + f64 formation); extra corrector SOLVES through the same

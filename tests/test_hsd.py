@@ -363,7 +363,7 @@ class TestNumericalBestIterate:
             def solve(self, fac, rs):
                 return REFERENCE_KERNELS.solve(fac, rs)
 
-            def finish_kernels(self):
+            def finish_kernels(self, which="df64"):
                 return self._poison
 
         m, n, B = 16, 40, 16
