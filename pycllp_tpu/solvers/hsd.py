@@ -555,6 +555,16 @@ def _restart_merge(state: HSDState, fresh: HSDState, retry) -> HSDState:
     )
 
 
+# stall_patience for restart phases: a restarted lane keeps its OLD best
+# trackers as insurance, so the stall clock's baseline is the old
+# best_score — which a cold start cannot beat until it has ~converged.
+# With a finite patience the clock kills exactly the lanes that need
+# more than `patience` iterations to do so (measured: 2/256 lanes
+# stall-killed at k=8 that converge at k=9-10).  Restart phases are
+# already budget-capped, so the cutoff buys nothing there: disable it.
+_NO_STALL = 1 << 30
+
+
 def _retry_mask(status):
     return (
         (status == _RUNNING)
@@ -835,8 +845,9 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             )
             state = _restart_merge(state, fresh, retry)
             state = _run_phase(
-                ctx, b_f, c_f, state, wopts, fkset, fdtype, opts.tol,
-                opts.finish_maxiter + 10, reduce_any,
+                ctx, b_f, c_f, state,
+                wopts.replace(stall_patience=_NO_STALL), fkset, fdtype,
+                opts.tol, opts.finish_maxiter + 10, reduce_any,
             )
         return _package(ctx, b_f, c_f, state, fkset, opts, scaling, c_w)
 
@@ -924,6 +935,7 @@ def _compact_resume(
             ctx, b_sf[idx], c_sf[idx], opts.replace(init_point="mehrotra"), kset, dtype
         )
         state2 = _restart_merge(state2, fresh, resumed)
+        opts = opts.replace(stall_patience=_NO_STALL)  # see _NO_STALL note
     else:
         # restart the stall clock at the resume point: gathered lanes
         # carry a best_k from their own (earlier) clock, and the shared

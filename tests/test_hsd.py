@@ -448,3 +448,45 @@ class TestNumericalBestIterate:
             ctx, bB, cB, bad, REFERENCE_KERNELS, 1e-15
         )
         assert int(status2[0]) == int(Status.NUMERICAL)
+
+
+class TestRestartStallClock:
+    """Round-3 on-chip find: a restarted lane keeps its OLD best trackers
+    as insurance, so the stall clock's baseline is the old best_score —
+    which a cold start cannot beat until it has nearly converged.  With a
+    finite patience the clock killed exactly the lanes needing more than
+    `patience` iterations (2/256 bench lanes stall-killed at k=8 that
+    converge at k=9-10).  Restart phases must run with the stall cutoff
+    disabled (they are budget-capped already)."""
+
+    def test_compact_restart_survives_unbeatable_old_best(self):
+        from pycllp_tpu.ops.reference import REFERENCE_KERNELS
+        from pycllp_tpu.solvers.hsd import _compact_resume, _fresh_state
+
+        m, n, B = 16, 40, 8
+        A, _, _ = random_equality_lp(m, n, seed=31)
+        rng = np.random.default_rng(32)
+        b = (rng.uniform(0.1, 1.0, size=(B, n)) @ A.T).astype(np.float64)
+        c = (rng.normal(size=(B, m)) @ A + rng.uniform(0.1, 1.0, size=(B, n))).astype(
+            np.float64
+        )
+        opts = SolverOptions(tol=1e-9, dtype="float64", stall_patience=2)
+        ctx = REFERENCE_KERNELS.prepare(jnp.asarray(A))
+        bj, cj = jnp.asarray(b), jnp.asarray(c)
+        state = _fresh_state(ctx, bj, cj, opts, REFERENCE_KERNELS, jnp.float64)
+        # every lane: STALLED, with an old best_score no fresh run can
+        # beat before `stall_patience` runs out
+        state = state._replace(
+            status=jnp.full_like(state.status, int(Status.STALLED)),
+            best_score=jnp.full_like(state.best_score, 1e-12),
+        )
+        out = _compact_resume(
+            ctx, bj, cj, state, opts, REFERENCE_KERNELS, jnp.float64,
+            1e-9, 40, bucket=B, restart=True,
+        )
+        # convergence from the cold restart takes ~10 iterations; with
+        # the stall cutoff active at patience 2 every lane would be
+        # killed at k=2 and stay STALLED
+        assert np.all(np.asarray(out.status) == int(Status.OPTIMAL)), np.asarray(
+            out.status
+        )

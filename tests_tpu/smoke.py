@@ -1,0 +1,175 @@
+"""On-chip smoke tier (VERDICT r2 item 2): validate every TPU-only code
+path that the CPU test suite cannot reach, in a few minutes.
+
+The CPU suite pins `jax_platforms=cpu` (tests/conftest.py), so Pallas
+kernels run in interpret mode and dtype-branching code (`ops/df64.py`'s
+bf16 Ozaki GEMMs) takes a different path — which is exactly how round 2
+shipped a broken flagship.  This script runs the same contracts on the
+real chip:
+
+  1. batch-last f32 factor+solve vs the XLA reference kernels
+  2. df64 Pallas factor+solve accuracy vs XLA f64
+  3. Ozaki bf16-GEMM normal-matrix formation exactness under late-IPM
+     `d` spreads (the genuinely TPU-only branch)
+  4. a 256-lane 64x64 two-phase solve: majority-OPTIMAL + 64-lane scipy
+     audit at the 1e-6 contract (the probe)
+
+Usage:  timeout 900 python tests_tpu/smoke.py
+Exit code 0 = all sections pass.  Run this after the LAST commit of a
+round, followed by one full `python bench.py`, so /root/.jax_cache is
+warm for the driver's bench run.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_enable_x64", True)
+
+FAILURES = []
+
+
+def section(name):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            try:
+                fn()
+                print(f"[smoke] {name}: PASS ({time.time()-t0:.1f}s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                FAILURES.append(name)
+                print(f"[smoke] {name}: FAIL ({time.time()-t0:.1f}s): {e}", flush=True)
+        return run
+    return deco
+
+
+@section("backend is TPU")
+def check_backend():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+
+@section("batchlast f32 factor/solve vs reference")
+def check_batchlast():
+    from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
+    from pycllp_tpu.ops.reference import REFERENCE_KERNELS
+
+    rng = np.random.default_rng(0)
+    m, n, B = 64, 128, 256
+    A = rng.normal(size=(m, n)).astype(np.float32) / np.sqrt(n)
+    d = rng.uniform(0.5, 2.0, size=(B, n)).astype(np.float32)
+    r = rng.normal(size=(B, m)).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        ctx_p = BATCHLAST_KERNELS.prepare(jnp.asarray(A))
+        fac_p = BATCHLAST_KERNELS.factor(ctx_p, jnp.asarray(d), 1e-6)
+        (v_p,) = BATCHLAST_KERNELS.solve(fac_p, (jnp.asarray(r),))
+        ctx_r = REFERENCE_KERNELS.prepare(jnp.asarray(A))
+        fac_r = REFERENCE_KERNELS.factor(ctx_r, jnp.asarray(d), 1e-6)
+        (v_r,) = REFERENCE_KERNELS.solve(fac_r, (jnp.asarray(r),))
+    rel = np.max(np.abs(np.asarray(v_p) - np.asarray(v_r))) / np.max(np.abs(np.asarray(v_r)))
+    assert rel < 1e-4, f"batchlast vs reference rel err {rel:.2e}"
+
+
+@section("df64 Pallas factor/solve ~1e-13 vs XLA f64")
+def check_df64():
+    from pycllp_tpu.ops.df64 import DF64_FINISH_KERNELS
+    from pycllp_tpu.ops.reference import REFERENCE_KERNELS
+
+    rng = np.random.default_rng(1)
+    m, n, B = 64, 128, 256
+    A = rng.normal(size=(m, n)) / np.sqrt(n)
+    # late-IPM-like spread: d spans ~1e-12..1e12
+    d = 10.0 ** rng.uniform(-12, 12, size=(B, n))
+    r = rng.normal(size=(B, m))
+    ctx = DF64_FINISH_KERNELS.prepare(jnp.asarray(A))
+    fac = DF64_FINISH_KERNELS.factor(ctx, jnp.asarray(d), 1e-12)
+    (v,) = DF64_FINISH_KERNELS.solve(fac, (jnp.asarray(r),))
+    ctx_r = REFERENCE_KERNELS.prepare(jnp.asarray(A, np.float64))
+    fac_r = REFERENCE_KERNELS.factor(ctx_r, jnp.asarray(d), 1e-12)
+    (v_r,) = REFERENCE_KERNELS.solve(fac_r, (jnp.asarray(r),))
+    num = np.abs(np.asarray(v) - np.asarray(v_r))
+    den = np.maximum(np.max(np.abs(np.asarray(v_r)), axis=-1, keepdims=True), 1e-30)
+    rel = np.max(num / den)
+    # XLA f64 on TPU is emulated double-double (~2^-48); df64 is the same
+    # class.  1e-9 catches the round-2 breakage (errors were ~1e-3).
+    assert rel < 1e-9, f"df64 vs f64 rel err {rel:.2e}"
+    assert np.isfinite(np.asarray(v)).all(), "df64 solve produced non-finite values"
+
+
+@section("Ozaki bf16 formation exact vs f64 einsum")
+def check_ozaki():
+    from pycllp_tpu.ops.df64 import DF64_FINISH_KERNELS
+
+    rng = np.random.default_rng(2)
+    m, n, B = 64, 128, 512
+    A = rng.normal(size=(m, n)) / np.sqrt(n)
+    # the round-2 killer: per-column spreads far beyond f32 range
+    d = 10.0 ** rng.uniform(-40, 40, size=(B, n))
+    kset = DF64_FINISH_KERNELS
+    ctx = kset.prepare(jnp.asarray(A))
+    from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_params
+
+    s, n_slices, cut = ozaki_params(n)
+    M = np.asarray(
+        _ozaki_matmul(ctx.Woz[0], ctx.Woz[1], jnp.asarray(d.T), s=s, n_slices=n_slices, cut=cut)
+    )
+    M_ref = np.einsum("mn,bn,kn->mkb", A, d, A).reshape(m * m, B)
+    scale = np.max(np.abs(M_ref), axis=0, keepdims=True)
+    rel = np.max(np.abs(M - M_ref) / scale)
+    assert rel < 1e-13, f"ozaki formation rel err {rel:.2e} (vs output scale)"
+
+
+@section("256-lane two-phase probe: majority-OPTIMAL + 1e-6 audit")
+def check_probe():
+    from pycllp_tpu import SolverOptions
+    from pycllp_tpu.io.generate import random_standard_lp
+    from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
+    from pycllp_tpu.solvers.hsd import hsd_solve_batched
+
+    B = 256
+    lp = random_standard_lp(64, 64, nlp=B, seed=3, dtype=np.float32)
+    eq = lp.to_equality_form()
+    opts = SolverOptions(
+        tol=1e-6, maxiter=40, dtype="float32", stall_patience=3, stall_rtol=0.05,
+        refine_steps=0, init_point="mehrotra",
+        finish_dtype="float64", switch_tol=1e-5, finish_maxiter=20, finish_kset="df64",
+    )
+    out = hsd_solve_batched(
+        np.asarray(eq.A, np.float32), np.asarray(eq.b, np.float32),
+        np.asarray(eq.c, np.float32), opts, BATCHLAST_KERNELS,
+    )
+    st = np.asarray(out["status"])
+    obj = np.asarray(out["objective"])
+    uniq, cnt = np.unique(st, return_counts=True)
+    print(f"  statuses: {dict(zip(uniq.tolist(), cnt.tolist()))}", flush=True)
+    assert (st == 0).mean() > 0.9, f"only {(st == 0).sum()}/{B} OPTIMAL"
+    from scipy.optimize import linprog
+
+    rels = []
+    for i in np.linspace(0, B - 1, 64, dtype=int):
+        res = linprog(
+            -np.asarray(lp.c)[i].astype(np.float64),
+            A_ub=np.asarray(lp.A, np.float64),
+            b_ub=np.asarray(lp.b)[i].astype(np.float64),
+            bounds=[(0, None)] * 64,
+            method="highs",
+        )
+        if res.status == 0:
+            rels.append(abs(-float(obj[i]) + res.fun) / max(1, abs(res.fun)))
+    print(f"  audit: max {max(rels):.2e} mean {np.mean(rels):.2e}", flush=True)
+    assert max(rels) <= 1e-6, f"audit max {max(rels):.2e} > 1e-6"
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    for fn in (check_backend, check_batchlast, check_df64, check_ozaki, check_probe):
+        fn()
+    print(f"[smoke] total {time.time()-t0:.1f}s; "
+          f"{'ALL PASS' if not FAILURES else 'FAILED: ' + ', '.join(FAILURES)}", flush=True)
+    sys.exit(1 if FAILURES else 0)
