@@ -89,11 +89,48 @@ Lh, Ll, Dh, Dl = _df_chol_bl(Mh0, Ml0, reg0, m=M)
 L32, D32 = _chol_bl(M32, reg0, m=M)
 timed(
     "f32 solve 2-RHS kernel",
-    lambda r_: _solve_bl(L32, D32, r_, m=M, k_rhs=2)[0, 0, 0],
-    Rh0, baseline=base,
+    lambda l_, d_, r_: _solve_bl(l_, d_, r_, m=M, k_rhs=2)[0, 0, 0],
+    L32, D32, Rh0, baseline=base,
 )
 timed(
     "df64 solve 2-RHS kernel",
-    lambda rh, rl: _df_solve_bl(Lh, Ll, Dh, Dl, rh, rl, m=M, k_rhs=2)[0][0, 0, 0],
-    Rh0, Rl0, baseline=base,
+    lambda lh, ll, dh, dl, rh, rl: _df_solve_bl(lh, ll, dh, dl, rh, rl, m=M, k_rhs=2)[0][0, 0, 0],
+    Lh, Ll, Dh, Dl, Rh0, Rl0, baseline=base,
 )
+
+# ---- wide-phase matvec costs (round 3): the step function issues ~10
+# (B,n)@(n,m)-shaped products per iteration through mv/rmv; on TPU the
+# f64 einsum is emulated.  Candidate replacement: the same Ozaki grouped
+# bf16 GEMM machinery used for the normal-matrix formation. ----
+from pycllp_tpu.ops.df64 import _ozaki_matmul, _ozaki_prepare, ozaki_params  # noqa: E402
+
+N = A.shape[1]
+x0 = jnp.asarray(rng.standard_normal((B, N)), jnp.float64)
+y0 = jnp.asarray(rng.standard_normal((B, M)), jnp.float64)
+A32 = A.astype(jnp.float32)
+x32 = x0.astype(jnp.float32)
+
+timed("f32 mv (einsum bn,mn->bm)", lambda a_, x_: jnp.einsum("bn,mn->bm", x_, a_)[0, 0], A32, x32, baseline=base)
+timed("f64 mv emulated", lambda x_: jnp.einsum("bn,mn->bm", x_, A)[0, 0], x0, baseline=base)
+timed("f64 rmv emulated", lambda y_: jnp.einsum("bm,mn->bn", y_, A)[0, 0], y0, baseline=base)
+
+s_n, k_n, cut_n = ozaki_params(N)
+Ag = _ozaki_prepare(A, s=s_n, n_slices=k_n, cut=cut_n)
+def oz_mv(x_):
+    return _ozaki_matmul(Ag[0], Ag[1], x_.T, s=s_n, n_slices=k_n, cut=cut_n)[0, 0]
+timed(f"ozaki mv (s={s_n}, {cut_n-1} group GEMMs)", oz_mv, x0, baseline=base)
+
+s_m, k_m, cut_m = ozaki_params(M)
+ATg = _ozaki_prepare(A.T, s=s_m, n_slices=k_m, cut=cut_m)
+def oz_rmv(y_):
+    return _ozaki_matmul(ATg[0], ATg[1], y_.T, s=s_m, n_slices=k_m, cut=cut_m)[0, 0]
+timed(f"ozaki rmv (s={s_m}, {cut_m-1} group GEMMs)", oz_rmv, y0, baseline=base)
+
+# accuracy of the ozaki mv vs the emulated-f64 einsum
+mv_oz = np.asarray(_ozaki_matmul(Ag[0], Ag[1], x0.T, s=s_n, n_slices=k_n, cut=cut_n)).T
+mv_f64 = np.asarray(jnp.einsum("bn,mn->bm", x0, A))
+rel = np.max(np.abs(mv_oz - mv_f64)) / np.max(np.abs(mv_f64))
+log(f"ozaki mv vs f64 einsum: rel {rel:.2e}")
+
+# elementwise f64-emulated cost probe (the step has ~30 O(nB) elementwise ops)
+timed("f64 elementwise x*z+x (B,n)", lambda x_: (x_ * x_ + x_)[0, 0], x0, baseline=base)

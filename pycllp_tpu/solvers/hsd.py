@@ -838,8 +838,12 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         if opts.finish_restart:
             # fresh-restart fallback for wide-stalled lanes (see
             # _restart_merge): whole-batch masked — finished lanes stay
-            # frozen, unfinished ones rerun from a cold Mehrotra start.
-            retry = _retry_mask(state.status)
+            # frozen, STALLED/NUMERICAL ones rerun from a cold Mehrotra
+            # start; still-RUNNING (budget-capped) lanes continue warm
+            # with the restart round's extra budget (k resets to 0).
+            retry = (state.status == jnp.int32(int(Status.STALLED))) | (
+                state.status == jnp.int32(int(Status.NUMERICAL))
+            )
             fresh = _fresh_state(
                 ctx, b_f, c_f, opts.replace(init_point="mehrotra"), fkset, fdtype
             )
@@ -921,9 +925,12 @@ def _compact_resume(
     beyond ``bucket`` (overflow) keep their capped state.
 
     ``restart=True``: additionally gather STALLED/NUMERICAL lanes and
-    rerun them from a COLD Mehrotra start instead of their own state
-    (the wide-phase fresh-restart fallback — see _restart_merge); old
-    best trackers are preserved so a failed restart cannot regress.
+    rerun those from a COLD Mehrotra start (the wide-phase fresh-restart
+    fallback — see _restart_merge); old best trackers are preserved so a
+    failed restart cannot regress.  Still-RUNNING overflow lanes in the
+    same bucket resume WARM — a cold f64 solve needs ~10 iterations
+    where a warm continuation needs ~2-4, so restarting lanes that were
+    merely queued behind the bucket limit wastes most of the budget.
     """
     unfinished = _retry_mask(sflat.status) if restart else (sflat.status == _RUNNING)
     idx = jnp.argsort(~unfinished)[:bucket]
@@ -934,7 +941,12 @@ def _compact_resume(
         fresh = _fresh_state(
             ctx, b_sf[idx], c_sf[idx], opts.replace(init_point="mehrotra"), kset, dtype
         )
-        state2 = _restart_merge(state2, fresh, resumed)
+        stuck = (sflat.status == jnp.int32(int(Status.STALLED))) | (
+            sflat.status == jnp.int32(int(Status.NUMERICAL))
+        )
+        # _restart_merge re-opens the stuck lanes and zeroes every lane's
+        # stall clock; RUNNING overflow lanes keep their warm state.
+        state2 = _restart_merge(state2, fresh, stuck[idx])
         opts = opts.replace(stall_patience=_NO_STALL)  # see _NO_STALL note
     else:
         # restart the stall clock at the resume point: gathered lanes
