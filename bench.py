@@ -78,6 +78,8 @@ FINISH = os.environ.get("BENCH_FINISH", "1") != "0"
 FINISH_CAP = int(os.environ.get("BENCH_FINISH_CAP", 3))
 FINISH_GONDZIO = int(os.environ.get("BENCH_FINISH_GONDZIO", 0))
 FINISH_MAXITER = int(os.environ.get("BENCH_FINISH_MAXITER", 20))
+FINISH_MODE = os.environ.get("BENCH_FINISH_MODE", "ipm")
+FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 0)) or None
 TOL = float(os.environ.get("BENCH_TOL", 0)) or None
 
 
@@ -93,6 +95,7 @@ def bench_options() -> SolverOptions:
             switch_tol=1e-5,
             finish_maxiter=FINISH_MAXITER,
             finish_gondzio=FINISH_GONDZIO,
+            finish_mode=FINISH_MODE,
         )
         if FINISH
         else {}
@@ -168,7 +171,7 @@ def run_throughput(m=M, n=N, total=TOTAL, chunk=CHUNK, emit_json=True):
         out = hsd_solve_scan(
             A, b_all, c_all, opts, kset, chunk=chunk, keys=keys,
             compact_cap=CAP or None, compact_bucket=BUCKET,
-            finish_cap=FINISH_CAP,
+            finish_cap=FINISH_CAP, finish_bucket=FINISH_BUCKET,
         )
         return out["objective"], out["status"], out["iterations"]
 

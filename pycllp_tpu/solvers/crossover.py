@@ -1,0 +1,105 @@
+"""Vertex crossover finish: basis identification + ONE wide basis solve.
+
+TPU-native redesign note (SURVEY.md §7 hard part 1; upstream parity:
+the reference meets its 1e-6 contract by solving entirely in f64 on the
+CPU — reference mount empty this build, SURVEY.md §0).  The f32 TPU
+path reaches ~1e-4; continuing the IPM in emulated f64 costs 3–8 wide
+iterations per lane, each with a df64 factorization (measured: the
+contract-meeting IPM-finish configs run at ~11K LP/s, 0.11x the
+BASELINE.md north star).  This module instead finishes a lane with ONE
+wide factorization: the narrow interior point identifies the optimal
+basis B (the m largest complementarity ratios x/z — by the time the
+IPM reaches a ~1e-4 gap the basic/nonbasic partition of a nondegenerate
+LP is settled), and the exact vertex is recovered from the basis normal
+equations, reusing the df64 kernels unchanged with the 0/1 basis
+indicator as the diagonal:
+
+    M   = A·diag(e_B)·Aᵀ  =  B·Bᵀ      (existing formation kernel)
+    x_B = Bᵀ M⁻¹ b                      (then  B x_B = b  exactly)
+    y   = M⁻¹ B c_B                     (then  Bᵀ y  = c_B exactly)
+    z   = c − Aᵀ y                      (z_B ≈ 0, z_N = reduced costs)
+
+Conditioning: the solves are κ(B)²-conditioned; ``refine`` df64
+iterative-refinement sweeps against the TRUE residuals (b − A x and
+c_B − Bᵀy, computed in f64) remove both the κ² amplification and the
+diagonal-regularization shift, leaving O(2⁻⁴⁸·κ) error — orders below
+the 1e-6 contract.  Acceptance is verified per lane: finiteness, primal
+residual, x ≥ 0 (primal vertex feasibility) and z ≥ 0 (dual
+feasibility/optimality).  A rejected lane (wrong basis guess at the
+switch point, singular B from a degenerate optimum) falls back to the
+wide IPM continuation — crossover is an accelerator, never a
+correctness gate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["basis_indicator", "crossover_candidate"]
+
+
+def basis_indicator(x, z, m: int):
+    """0/1 indicator of the m largest complementarity ratios x/z per lane.
+
+    At an optimal vertex the basic variables have x > 0 = z and the
+    nonbasic ones x = 0 < z, so x/z separates the partition by many
+    orders of magnitude once the interior point is near convergence.
+    NaN ratios (numerically-broken lanes) sort last; those lanes fail
+    the candidate verification downstream either way.
+    """
+    ratio = x / jnp.maximum(z, jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype))
+    ratio = jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)
+    _, idx = lax.top_k(ratio, m)  # top_k, not argsort: O(n log m) on TPU
+    lanes = jnp.arange(x.shape[0])[:, None]
+    return jnp.zeros_like(x).at[lanes, idx].set(1.0)
+
+
+def crossover_candidate(
+    fctx,
+    b,
+    c,
+    x,
+    z,
+    fkset,
+    *,
+    reg_eps: float = 1e-12,
+    refine: int = 2,
+    feas_tol: float = 1e-9,
+):
+    """Compute the vertex candidate and its per-lane acceptance mask.
+
+    Parameters are in SCALED equality coordinates, wide dtype; ``x``/``z``
+    are the de-embedded interior point (x/τ, z/τ).  Returns
+    ``(xv, yv, zv, ok)`` with xv/zv clamped nonnegative; ``ok`` is the
+    sign/residual verification only — the caller layers the ρ-indicator
+    classification on top.
+    """
+    m = b.shape[-1]
+    d = basis_indicator(x, z, m)
+
+    fac = fkset.factor(fctx, d, reg_eps)
+    w, yv = fkset.solve(fac, (b, fkset.mv(fctx, d * c)))
+    xv = d * fkset.rmv(fctx, w)
+    for _ in range(refine):
+        rp = b - fkset.mv(fctx, xv)
+        rd_b = d * (c - fkset.rmv(fctx, yv))
+        dw, dy = fkset.solve(fac, (rp, fkset.mv(fctx, rd_b)))
+        xv = xv + d * fkset.rmv(fctx, dw)
+        yv = yv + dy
+    zv = c - fkset.rmv(fctx, yv)
+
+    rp = b - fkset.mv(fctx, xv)
+    one = jnp.asarray(1.0, xv.dtype)
+    bscale = jnp.maximum(one, jnp.max(jnp.abs(b), axis=-1))
+    xscale = jnp.maximum(one, jnp.max(xv, axis=-1))
+    zscale = jnp.maximum(one, jnp.max(jnp.abs(zv), axis=-1))
+    ok = (
+        jnp.all(jnp.isfinite(xv), axis=-1)
+        & jnp.all(jnp.isfinite(yv), axis=-1)
+        & jnp.all(jnp.isfinite(zv), axis=-1)
+        & (jnp.max(jnp.abs(rp), axis=-1) <= feas_tol * bscale)
+        & (jnp.min(xv, axis=-1) >= -feas_tol * xscale)
+        & (jnp.min(zv, axis=-1) >= -feas_tol * zscale)
+    )
+    return jnp.maximum(xv, 0.0), yv, jnp.maximum(zv, 0.0), ok

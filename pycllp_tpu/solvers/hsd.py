@@ -517,6 +517,60 @@ def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
     )
 
 
+def _crossover_state(
+    fctx, b, c, state: HSDState, fkset: KernelSet, opts: SolverOptions, tol
+) -> HSDState:
+    """Apply the vertex crossover (solvers/crossover.py) to a wide state.
+
+    Every lane not already proven INFEASIBLE/UNBOUNDED gets a candidate;
+    a lane is accepted when the candidate passes BOTH the sign/residual
+    verification and the ρ-indicator optimality test at full ``tol`` —
+    accepted lanes become OPTIMAL with the vertex as their iterate
+    (τ = 1, κ = 0: the de-embedded exact solution).  Rejected lanes are
+    re-opened RUNNING so the wide IPM continuation picks them up from
+    their (folded-to-best) interior point.
+    """
+    from pycllp_tpu.solvers.crossover import crossover_candidate
+
+    tiny = jnp.asarray(jnp.finfo(state.x.dtype).tiny, state.x.dtype)
+    tau_safe = jnp.maximum(state.tau, tiny)
+    xv, yv, zv, ok = crossover_candidate(
+        fctx,
+        b,
+        c,
+        state.x / tau_safe[..., None],
+        state.z / tau_safe[..., None],
+        fkset,
+        refine=opts.crossover_refine,
+        feas_tol=opts.crossover_feas_tol,
+    )
+    tau1 = jnp.ones_like(state.tau)
+    kap0 = jnp.zeros_like(state.kappa)
+    rp, rd, rg, mu = _residuals(fctx, b, c, xv, yv, zv, tau1, kap0, fkset)
+    by = jnp.sum(b * yv, axis=-1)
+    ind = _indicators(
+        rp, rd, rg, mu, tau1, kap0, by, state.rp0, state.rd0, state.rg0, state.mu0
+    )
+    opt = (ind.rho_p <= tol) & (ind.rho_d <= tol) & (ind.rho_A <= tol)
+    eligible = (state.status != jnp.int32(int(Status.INFEASIBLE))) & (
+        state.status != jnp.int32(int(Status.UNBOUNDED))
+    )
+    accept = eligible & ok & opt
+    an = accept[..., None]
+    return state._replace(
+        x=jnp.where(an, xv, state.x),
+        y=jnp.where(an, yv, state.y),
+        z=jnp.where(an, zv, state.z),
+        tau=jnp.where(accept, tau1, state.tau),
+        kappa=jnp.where(accept, kap0, state.kappa),
+        status=jnp.where(
+            accept,
+            jnp.int32(int(Status.OPTIMAL)),
+            jnp.where(eligible, _RUNNING, state.status),
+        ),
+    )
+
+
 def _restart_merge(state: HSDState, fresh: HSDState, retry) -> HSDState:
     """Merge a fresh start into ``state`` for the ``retry`` lanes.
 
@@ -812,12 +866,17 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         state = _fold_to_best(ctx, b_s, c_s, state, kset)
         ctx = fkset.prepare(A_f)
         state = _cast_state(state, fdtype)
-        reopen = (state.status != jnp.int32(int(Status.NUMERICAL)))
         state = state._replace(
-            status=jnp.where(reopen, _RUNNING, state.status),
             best_score=jnp.full_like(state.best_score, jnp.finfo(fdtype).max),
             best_k=jnp.full_like(state.best_k, state.k),
         )
+        if opts.finish_mode == "crossover":
+            # one wide basis solve finishes accepted lanes as OPTIMAL;
+            # rejects are re-opened RUNNING for the IPM continuation below
+            state = _crossover_state(ctx, b_f, c_f, state, fkset, opts, opts.tol)
+        else:
+            reopen = state.status != jnp.int32(int(Status.NUMERICAL))
+            state = state._replace(status=jnp.where(reopen, _RUNNING, state.status))
         wopts = opts.replace(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
@@ -969,8 +1028,8 @@ def _compact_resume(
     return HSDState(**merged)
 
 
-@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "finish_cap", "warm_chain"))
-def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap, warm_chain=False):
+@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "finish_cap", "finish_bucket", "warm_chain"))
+def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap, finish_bucket, warm_chain=False):
     """Fused cap → compact → warm-resume sweep, all ONE device program.
 
     A chunk's masked while_loop runs to its SLOWEST lane, so chunk cost
@@ -1086,32 +1145,57 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         fctx = fkset.prepare(A_sw)
         sflat = _fold_to_best(ctx, b_sf, c_sf, sflat, kset)
         sflat = _cast_state(sflat, wide)
-        reopen = sflat.status != jnp.int32(int(Status.NUMERICAL))
         sflat = sflat._replace(
-            status=jnp.where(reopen, _RUNNING, sflat.status),
             k=jnp.int32(0),
             best_score=jnp.full_like(sflat.best_score, jnp.finfo(wide).max),
             best_k=jnp.zeros_like(sflat.best_k),
         )
-        per_lane = {
-            f_: v.reshape(K, chunk, *v.shape[1:])
-            for f_, v in sflat._asdict().items()
-            if f_ != "k"
-        }
-
         wopts = opts.replace(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
             gondzio_correctors=opts.finish_gondzio,
         )
 
-        def g(_, xs):
-            st_fields, b_s, c_s = xs
-            st = HSDState(k=jnp.int32(0), **st_fields)
-            st = _run_phase(
-                fctx, b_s, c_s, st, wopts, fkset, wide, opts.tol, finish_cap, jnp.any
+        if opts.finish_mode == "crossover":
+            # ONE wide basis solve per lane (solvers/crossover.py):
+            # accepted lanes are OPTIMAL outright; rejects re-open
+            # RUNNING and fall through to the stage-4 IPM continuation.
+            # Straight-line code — no wide while_loop over ALL lanes —
+            # so stage 3 costs ~1 wide factorization/lane instead of
+            # `finish_cap` full IPM iterations.
+            per_lane = {
+                f_: v.reshape(K, chunk, *v.shape[1:])
+                for f_, v in sflat._asdict().items()
+                if f_ != "k"
+            }
+
+            def g(_, xs):
+                st_fields, b_s, c_s = xs
+                st = HSDState(k=jnp.int32(0), **st_fields)
+                st = _crossover_state(fctx, b_s, c_s, st, fkset, opts, opts.tol)
+                return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
+
+            base_k = 0
+        else:
+            reopen = sflat.status != jnp.int32(int(Status.NUMERICAL))
+            sflat = sflat._replace(
+                status=jnp.where(reopen, _RUNNING, sflat.status)
             )
-            return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
+            per_lane = {
+                f_: v.reshape(K, chunk, *v.shape[1:])
+                for f_, v in sflat._asdict().items()
+                if f_ != "k"
+            }
+
+            def g(_, xs):
+                st_fields, b_s, c_s = xs
+                st = HSDState(k=jnp.int32(0), **st_fields)
+                st = _run_phase(
+                    fctx, b_s, c_s, st, wopts, fkset, wide, opts.tol, finish_cap, jnp.any
+                )
+                return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
+
+            base_k = finish_cap
 
         _, fdict = lax.scan(
             g,
@@ -1119,7 +1203,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             (per_lane, b_sfw.reshape(K, chunk, m), c_sfw.reshape(K, chunk, n)),
         )
         sflat = HSDState(
-            k=jnp.int32(finish_cap),
+            k=jnp.int32(base_k),
             **{f_: v.reshape(N, *v.shape[2:]) for f_, v in fdict.items()},
         )
 
@@ -1132,13 +1216,16 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         # Round 2 doubles as the fresh-restart fallback: it regathers
         # STALLED/NUMERICAL lanes and reruns them from a cold Mehrotra
         # start (see _restart_merge / _compact_resume(restart=True)).
+        # ``finish_bucket`` sizes these rounds independently of the
+        # narrow stage-2 bucket: crossover rejects are few, and a wide
+        # masked while_loop's cost scales with its width.
         sflat = _compact_resume(
             fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-            finish_cap + opts.finish_maxiter, bucket,
+            base_k + opts.finish_maxiter, finish_bucket,
         )
         sflat = _compact_resume(
             fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-            finish_cap + 2 * opts.finish_maxiter, bucket,
+            base_k + 2 * opts.finish_maxiter, finish_bucket,
             restart=opts.finish_restart,
         )
         outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
@@ -1157,6 +1244,7 @@ def hsd_solve_scan(
     compact_cap: int | None = None,
     compact_bucket: int = 8192,
     finish_cap: int = 6,
+    finish_bucket: int | None = None,
     warm_chain: bool = False,
 ):
     """Chunked batched solve as ONE device program (``lax.scan`` over chunks).
@@ -1189,8 +1277,14 @@ def hsd_solve_scan(
 
     With ``opts.finish_dtype`` set, the compact sweep appends a wide
     polish of EVERY lane to the full ``opts.tol`` (``finish_cap``-capped
-    scanned chunks + one compacted tail resume) — the configuration that
-    meets the 1e-6 contract at batched-f32 throughput.
+    scanned chunks + compacted tail resumes) — the configuration that
+    meets the 1e-6 contract at batched-f32 throughput.  With
+    ``opts.finish_mode="crossover"`` the per-chunk wide IPM scan is
+    replaced by ONE wide basis solve per lane (vertex crossover,
+    :mod:`pycllp_tpu.solvers.crossover`); only the rejected lanes run
+    the wide IPM, sized by ``finish_bucket`` (default =
+    ``compact_bucket``; crossover rejects are few, and a masked wide
+    while_loop's cost scales with its width, so a smaller bucket pays).
 
     ``warm_chain``: chunk k+1's lane j warm-starts from chunk k's lane-j
     solution (sanitized per lane), for correlated scenario streams where
@@ -1215,7 +1309,9 @@ def hsd_solve_scan(
         res = _hsd_scan_compact_core(
             A, b3, c3, opts, kset, tuple(keys),
             int(compact_cap), min(int(compact_bucket), K * chunk),
-            int(finish_cap), bool(warm_chain),
+            int(finish_cap),
+            min(int(finish_bucket or compact_bucket), K * chunk),
+            bool(warm_chain),
         )
         return {k: v[:N] for k, v in zip(keys, res)}
     res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys), bool(warm_chain))

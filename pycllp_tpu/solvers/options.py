@@ -127,6 +127,17 @@ class SolverOptions:
     # stall patience — measured: 9/256 lanes stalled at ~3e-3 objective
     # error through every finish kernel set, while cold f64 solves of
     # the same instances converge in <=10 iterations.
+    finish_mode: str = "ipm"  # how the wide finish reaches full tol:
+    #   "ipm"        continue the interior iteration in the wide dtype
+    #                (3-8 wide factorizations/lane)
+    #   "crossover"  ONE wide basis solve per lane — identify the optimal
+    #                basis from the narrow point, recover the exact vertex
+    #                from the basis normal equations (solvers/crossover.py),
+    #                verify per lane; rejected lanes fall back to the wide
+    #                IPM continuation.  ~5x cheaper when the narrow phase
+    #                identifies most bases (nondegenerate workloads).
+    crossover_refine: int = 2  # df64 refinement sweeps on the basis solves
+    crossover_feas_tol: float = 1e-9  # per-lane vertex verification bound
     finish_gondzio: int = 0  # Gondzio centrality correctors in the wide
     # phase only.  Wide factorizations are the expensive resource (df64
     # Pallas + f64 formation); extra corrector SOLVES through the same
