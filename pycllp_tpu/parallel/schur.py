@@ -66,6 +66,7 @@ def column_sharded_hsd_solve(
     c,
     opts: SolverOptions = SolverOptions(),
     mesh: Mesh | None = None,
+    factor: str = "replicated",
 ):
     """Solve a (batch of) equality-form LP(s) ``min cᵀx, Ax=b, x≥0``
     with columns sharded over the mesh.  ``n`` must divide by the mesh
@@ -74,6 +75,18 @@ def column_sharded_hsd_solve(
     ``b``/``c`` may be ``(m,)``/``(n,)`` (single LP) or ``(B, m)``/
     ``(B, n)``.  Returns dict(x, z, y, objective, status, iterations)
     with x/z column-sharded and the batch axis matching the input.
+
+    ``factor`` selects the normal-matrix strategy:
+
+    * ``"replicated"`` (default) — psum-assemble the full (B, m, m) M
+      and Cholesky it redundantly on every device.  Right for m ≪ n:
+      redundant O(m³) compute is cheaper than distributing it.
+    * ``"sharded"`` — M's ROWS partition over the mesh and a
+      distributed blocked Cholesky factors it in place
+      (:mod:`pycllp_tpu.parallel.dchol`): per-device memory O(B·m²/P),
+      trailing-update FLOPs sharded P ways, one all-gather per panel.
+      The path for big-m LPs whose factor exceeds one chip.  Requires
+      ``m`` divisible by the mesh size.
     """
     if mesh is None:
         mesh = model_mesh()
@@ -82,6 +95,10 @@ def column_sharded_hsd_solve(
     m, n = A.shape
     if n % n_dev:
         raise ValueError(f"n={n} not divisible by mesh size {n_dev}")
+    if factor not in ("replicated", "sharded"):
+        raise ValueError(f"unknown factor strategy {factor!r}")
+    if factor == "sharded" and m % n_dev:
+        raise ValueError(f"factor='sharded' needs m={m} divisible by {n_dev}")
 
     dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b, c)
     A = jnp.asarray(A, dtype)
@@ -199,17 +216,44 @@ def column_sharded_hsd_solve(
             status = classify(s, rp, rd, rg, mu)
 
             dinv = s.x / s.z  # (B, n_loc)
-            # the Schur/psum assembly: M_b = Σ_p A_p D_{b,p} A_pᵀ (replicated)
-            M = psum(jnp.einsum("in,bn,jn->bij", A_l, dinv, A_l))
-            diag_max = jnp.max(jnp.diagonal(M, axis1=-2, axis2=-1), axis=-1)
-            M = M + (reg_eps * diag_max)[:, None, None] * jnp.eye(m, dtype=dtype)
-            L = lax.linalg.cholesky(M)  # batched; big-m XLA path
+            if factor == "sharded":
+                # row-sharded assembly (peak memory (B, m/P, m)/device)
+                # + distributed blocked Cholesky (parallel/dchol.py)
+                from pycllp_tpu.parallel.dchol import (
+                    rowshard_cholesky,
+                    rowshard_cholesky_solve,
+                )
 
-            def msolve(r):  # (B, m) replicated systems
-                t = lax.linalg.triangular_solve(L, r[..., None], left_side=True, lower=True)
-                return lax.linalg.triangular_solve(
-                    L, t, left_side=True, lower=True, transpose_a=True
-                )[..., 0]
+                my = lax.axis_index(axis)
+                mb = m // n_dev
+                cols = jnp.arange(m)
+                # (mb, m) indicator of my diagonal positions
+                emask = (cols[None, :] == (my * mb + jnp.arange(mb))[:, None]).astype(dtype)
+                Mw = jnp.zeros((B, mb, m), dtype)
+                for i in range(n_dev):
+                    rows = slice(i * mb, (i + 1) * mb)
+                    Gi = psum(jnp.einsum("in,bn,jn->bij", A_l[rows], dinv, A_l))
+                    Mw = jnp.where(my == i, Gi, Mw)
+                dloc = jnp.einsum("bam,am->ba", Mw, emask)  # my diag entries
+                dmax = lax.pmax(jnp.max(dloc, axis=-1), axis)
+                Mw = Mw + (reg_eps * dmax)[:, None, None] * emask[None]
+                Lw, kks = rowshard_cholesky(Mw, axis, n_dev)
+
+                def msolve(r):  # (B, m) replicated systems
+                    return rowshard_cholesky_solve(Lw, kks, r, axis, n_dev)
+
+            else:
+                # the Schur/psum assembly: M_b = Σ_p A_p D_{b,p} A_pᵀ (replicated)
+                M = psum(jnp.einsum("in,bn,jn->bij", A_l, dinv, A_l))
+                diag_max = jnp.max(jnp.diagonal(M, axis1=-2, axis2=-1), axis=-1)
+                M = M + (reg_eps * diag_max)[:, None, None] * jnp.eye(m, dtype=dtype)
+                L = lax.linalg.cholesky(M)  # batched; big-m XLA path
+
+                def msolve(r):  # (B, m) replicated systems
+                    t = lax.linalg.triangular_solve(L, r[..., None], left_side=True, lower=True)
+                    return lax.linalg.triangular_solve(
+                        L, t, left_side=True, lower=True, transpose_a=True
+                    )[..., 0]
 
             def sym_solve(r1_l, r2_r):
                 v = msolve(r2_r + mv(dinv * r1_l))

@@ -125,3 +125,82 @@ class TestBatchedSchur:
         )
         x = np.asarray(out["x"])
         np.testing.assert_allclose(A @ x, b, rtol=1e-6, atol=1e-6)
+
+
+class TestShardedFactor:
+    """Distributed blocked Cholesky (parallel/dchol.py): VERDICT r2
+    item 10 — the big-m path where the m×m factor itself is sharded."""
+
+    def test_dchol_matches_numpy(self, mesh8):
+        from functools import partial
+
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from pycllp_tpu.parallel.dchol import (
+            rowshard_cholesky,
+            rowshard_cholesky_solve,
+        )
+
+        m, B = 64, 3
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(B, m, 2 * m))
+        M = np.einsum("bij,bkj->bik", X, X) + m * np.eye(m)
+        r = rng.normal(size=(B, m))
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh8,
+            in_specs=(P(None, "model", None), P()),
+            out_specs=(P(None, "model", None), P()),
+            check_vma=False,
+        )
+        def run(Mw, r):
+            Lw, kks = rowshard_cholesky(Mw, "model", 8)
+            return Lw, rowshard_cholesky_solve(Lw, kks, r, "model", 8)
+
+        Lw, x = run(jnp.asarray(M), jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(Lw), np.linalg.cholesky(M), atol=1e-12)
+        x_ref = np.linalg.solve(M, r[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-12, atol=1e-12)
+
+    def test_sharded_factor_matches_replicated(self, mesh8):
+        # m divisible by the mesh: rows shard 8 ways; the solve must
+        # agree with the replicated-factor path to reduction-order noise
+        m, n = 16, 64
+        A, b, c = random_equality_lp(m, n, seed=77)
+        opts = SolverOptions(tol=1e-9, scale=False)
+        ref = column_sharded_hsd_solve(A, b, c, opts, mesh=mesh8)
+        out = column_sharded_hsd_solve(A, b, c, opts, mesh=mesh8, factor="sharded")
+        assert int(np.asarray(out["status"])) == int(Status.OPTIMAL)
+        np.testing.assert_allclose(
+            float(np.asarray(out["objective"])),
+            float(np.asarray(ref["objective"])),
+            rtol=1e-8,
+            atol=1e-9,
+        )
+
+    def test_sharded_factor_batched_vs_scipy(self, mesh8):
+        m, n, B = 32, 128, 4
+        A, b0, c0 = random_equality_lp(m, n, seed=5)
+        rng = np.random.default_rng(6)
+        b = np.stack([b0 * (1 + 0.1 * rng.random(m)) for _ in range(B)])
+        c = np.stack([c0 + 0.05 * rng.random(n) for _ in range(B)])
+        out = column_sharded_hsd_solve(
+            A, b, c, SolverOptions(tol=1e-8, scale=False), mesh=mesh8, factor="sharded"
+        )
+        st = np.asarray(out["status"])
+        assert np.all(st == int(Status.OPTIMAL)), st
+        for i in range(B):
+            res = linprog(c[i], A_eq=A, b_eq=b[i], bounds=[(0, None)] * n, method="highs")
+            assert res.status == 0
+            np.testing.assert_allclose(
+                float(np.asarray(out["objective"])[i]), res.fun, rtol=1e-6, atol=1e-6
+            )
+
+    def test_indivisible_m_raises(self, mesh8):
+        A, b, c = random_equality_lp(12, 48, seed=3)
+        with pytest.raises(ValueError, match="divisible"):
+            column_sharded_hsd_solve(
+                A, b, c, SolverOptions(), mesh=mesh8, factor="sharded"
+            )
