@@ -80,6 +80,12 @@ FINISH_GONDZIO = int(os.environ.get("BENCH_FINISH_GONDZIO", 0))
 FINISH_MAXITER = int(os.environ.get("BENCH_FINISH_MAXITER", 20))
 FINISH_MODE = os.environ.get("BENCH_FINISH_MODE", "ipm")
 FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 0)) or None
+# KKT-level refinement of each narrow Newton direction: one extra solve
+# per pass through the SAME factorization.  For the crossover finish
+# this is the acceptance knob: 0 -> 70%, 1 -> 83%, 2 -> 89% of lanes
+# accept the first basis guess (measured 2026-08-20), which sizes the
+# wide fallback bucket.
+KKT = int(os.environ.get("BENCH_KKT", 0))
 TOL = float(os.environ.get("BENCH_TOL", 0)) or None
 
 
@@ -111,6 +117,7 @@ def bench_options() -> SolverOptions:
         stall_patience=int(os.environ.get("BENCH_PATIENCE", 3)),
         stall_rtol=float(os.environ.get("BENCH_STALL_RTOL", 0.05)),
         refine_steps=0,
+        kkt_refine=KKT,
         init_point="mehrotra",
         **fin,
     )

@@ -493,6 +493,8 @@ class PreparedDF(typing.NamedTuple):
     Wh: typing.Any  # f32 hi/lo split of W (fast-formation GEMM inputs)
     Wl: typing.Any
     Woz: typing.Any  # (per-group integer slice blocks, e_row) or None
+    Amv: typing.Any  # Ozaki slice groups of A — exact-GEMM f64 matvecs
+    Armv: typing.Any  # ... and of Aᵀ (different contraction length!)
     # NOTE: the static (s, n_slices, cut) are re-derived from A.shape via
     # ozaki_params() wherever needed — shapes are static under jit.
 
@@ -540,7 +542,10 @@ class DoubleSingleKernels(KernelSet):
     def prepare(self, A):
         A = jnp.asarray(A, jnp.float64)
         if A.ndim != 2:
-            return PreparedDF(A=A, Asq=A * A, W=None, Wh=None, Wl=None, Woz=None)
+            return PreparedDF(
+                A=A, Asq=A * A, W=None, Wh=None, Wl=None, Woz=None,
+                Amv=None, Armv=None,
+            )
         m, n = A.shape
         W = (A[:, None, :] * A[None, :, :]).reshape(m * m, n)
         Wh, Wl = _split_hi_lo(W)
@@ -548,13 +553,39 @@ class DoubleSingleKernels(KernelSet):
         if self.form == "ozaki":
             s, n_slices, cut = ozaki_params(n)
             Woz = _ozaki_prepare(W, s=s, n_slices=n_slices, cut=cut)
-        return PreparedDF(A=A, Asq=A * A, W=W, Wh=Wh, Wl=Wl, Woz=Woz)
+        # Ozaki slice groups for the matvecs too: XLA's emulated-f64
+        # GEMM runs ~65x slower than f32 on TPU, and the wide phase
+        # makes ~8 matvec calls per crossover / IPM iteration — on the
+        # 16K-lane bench chunks the f64 einsums dominated the whole
+        # wide stage (measured 2026-08-20: ~1.1 s of a 1.3 s crossover
+        # pass).  The same exact-bf16-GEMM scheme used for W@dᵀ applies
+        # to A@xᵀ and Aᵀ@yᵀ directly (absolute error ~2⁻⁶⁶ of
+        # rowscale·colscale — the established formation error class).
+        sm, nm, cm = ozaki_params(n)
+        sr, nr, cr = ozaki_params(m)
+        Amv = _ozaki_prepare(A, s=sm, n_slices=nm, cut=cm)
+        Armv = _ozaki_prepare(A.T, s=sr, n_slices=nr, cut=cr)
+        return PreparedDF(
+            A=A, Asq=A * A, W=W, Wh=Wh, Wl=Wl, Woz=Woz, Amv=Amv, Armv=Armv
+        )
 
     def mv(self, ctx, x):
-        return jnp.einsum("...mn,...n->...m", ctx.A, x)
+        if getattr(ctx, "Amv", None) is None or x.ndim != 2:
+            return jnp.einsum("...mn,...n->...m", ctx.A, x)
+        n = ctx.A.shape[-1]
+        s, n_slices, cut = ozaki_params(n)
+        return _ozaki_matmul(
+            ctx.Amv[0], ctx.Amv[1], x.T, s=s, n_slices=n_slices, cut=cut
+        ).T
 
     def rmv(self, ctx, y):
-        return jnp.einsum("...mn,...m->...n", ctx.A, y)
+        if getattr(ctx, "Armv", None) is None or y.ndim != 2:
+            return jnp.einsum("...mn,...m->...n", ctx.A, y)
+        m = ctx.A.shape[-2]
+        s, n_slices, cut = ozaki_params(m)
+        return _ozaki_matmul(
+            ctx.Armv[0], ctx.Armv[1], y.T, s=s, n_slices=n_slices, cut=cut
+        ).T
 
     def factor(self, ctx, d, reg_eps):
         if not isinstance(ctx, PreparedDF):
@@ -562,8 +593,17 @@ class DoubleSingleKernels(KernelSet):
         d = d.astype(jnp.float64)
         m = ctx.A.shape[-2]
         B = d.shape[0]
-        diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
-        reg = reg_eps * jnp.max(diag, axis=-1)
+        # reg needs only max(diag(ADAᵀ)) to ~% accuracy — not worth an
+        # emulated-f64 GEMM.  d spans beyond f32 range (measured 5e47),
+        # so normalize per lane IN F64 first, run one f32 GEMM, and
+        # rescale: reg = reg_eps · max_j Σ_n A²[j,n]·d[n].
+        dmax = jnp.max(d, axis=-1)
+        dmax_s = jnp.maximum(dmax, jnp.asarray(jnp.finfo(jnp.float64).tiny))
+        ds = (d / dmax_s[..., None]).astype(jnp.float32)
+        diag32 = jnp.einsum(
+            "...mn,...n->...m", ctx.Asq.astype(jnp.float32), ds
+        )
+        reg = reg_eps * jnp.max(diag32, axis=-1).astype(jnp.float64) * dmax_s
         if ctx.W is None:
             M = jnp.einsum("bmn,bn,bkn->mkb", ctx.A, d, ctx.A)
             Mh, Ml = _split_hi_lo(_pad_lanes(M, B))

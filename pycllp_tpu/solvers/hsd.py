@@ -518,7 +518,8 @@ def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
 
 
 def _crossover_state(
-    fctx, b, c, state: HSDState, fkset: KernelSet, opts: SolverOptions, tol
+    fctx, b, c, state: HSDState, fkset: KernelSet, opts: SolverOptions, tol,
+    reopen: bool = True,
 ) -> HSDState:
     """Apply the vertex crossover (solvers/crossover.py) to a wide state.
 
@@ -526,9 +527,12 @@ def _crossover_state(
     a lane is accepted when the candidate passes BOTH the sign/residual
     verification and the ρ-indicator optimality test at full ``tol`` —
     accepted lanes become OPTIMAL with the vertex as their iterate
-    (τ = 1, κ = 0: the de-embedded exact solution).  Rejected lanes are
-    re-opened RUNNING so the wide IPM continuation picks them up from
-    their (folded-to-best) interior point.
+    (τ = 1, κ = 0: the de-embedded exact solution).  With ``reopen``,
+    rejected lanes become RUNNING so a wide IPM continuation picks them
+    up from their (folded-to-best) interior point; a FINAL (rescue)
+    crossover passes ``reopen=False`` so reject statuses — in
+    particular STALLED, which downstream restart logic keys on — are
+    left untouched.
     """
     from pycllp_tpu.solvers.crossover import crossover_candidate
 
@@ -566,7 +570,7 @@ def _crossover_state(
         status=jnp.where(
             accept,
             jnp.int32(int(Status.OPTIMAL)),
-            jnp.where(eligible, _RUNNING, state.status),
+            jnp.where(eligible & reopen, _RUNNING, state.status),
         ),
     )
 
@@ -894,6 +898,16 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             opts.maxiter + opts.finish_maxiter,
             reduce_any,
         )
+        if opts.finish_mode == "crossover":
+            # second attempt after the IPM sharpened the rejects — and a
+            # rescue for lanes whose IPM stalled just above tol (vertex
+            # acceptance tests the candidate, not the IPM's progress).
+            # reopen=False: reject statuses stay STALLED/NUMERICAL so
+            # the restart fallback below still sees them.
+            state = _fold_to_best(ctx, b_f, c_f, state, fkset)
+            state = _crossover_state(
+                ctx, b_f, c_f, state, fkset, opts, opts.tol, reopen=False
+            )
         if opts.finish_restart:
             # fresh-restart fallback for wide-stalled lanes (see
             # _restart_merge): whole-batch masked — finished lanes stay
@@ -1207,27 +1221,107 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             **{f_: v.reshape(N, *v.shape[2:]) for f_, v in fdict.items()},
         )
 
-        # ---- stage 4: compact the wide finish tail, resume (TWO rounds:
-        # a tail larger than the bucket overflows round 1 — those lanes
-        # stay RUNNING and round 2 gathers them; measured 2,913 overflow
-        # lanes answering at 1e-4 with a single round, 2026-08-19) ----
-        # the shared scalar loop-clock k advances across rounds, so each
-        # round's budget must extend past the previous round's endpoint.
-        # Round 2 doubles as the fresh-restart fallback: it regathers
-        # STALLED/NUMERICAL lanes and reruns them from a cold Mehrotra
-        # start (see _restart_merge / _compact_resume(restart=True)).
-        # ``finish_bucket`` sizes these rounds independently of the
-        # narrow stage-2 bucket: crossover rejects are few, and a wide
-        # masked while_loop's cost scales with its width.
-        sflat = _compact_resume(
-            fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-            base_k + opts.finish_maxiter, finish_bucket,
-        )
-        sflat = _compact_resume(
-            fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-            base_k + 2 * opts.finish_maxiter, finish_bucket,
-            restart=opts.finish_restart,
-        )
+        if opts.finish_mode == "crossover":
+            # ---- stage 4 (crossover): two compaction rounds. ----
+            # A reject means the narrow basis guess is off by 1-2
+            # indices (measured), so round A gathers ALL rejects into
+            # the ``finish_bucket``-wide batch, runs
+            # ``crossover_sharpen`` genuinely-wide Newton steps, and
+            # crosses over again (cumulative acceptance 70% → 97.5%
+            # measured).  The small remainder re-compacts into a
+            # bucket/4-wide round B that runs the IPM to budget, cold-
+            # restarts stuck lanes (_restart_merge), and ends with a
+            # rescue crossover: vertex acceptance tests the CANDIDATE's
+            # residuals, not the IPM's progress, so a lane stalled just
+            # above tol still answers with the exact vertex.  A masked
+            # while_loop pays its full width every iteration, which is
+            # why the long-running phases ride the NARROW bucket.
+            def gather_running(s):
+                unfinished = s.status == _RUNNING
+                return jnp.argsort(~unfinished), unfinished
+
+            def scatter(s, st2, idx, resumed):
+                merged = {}
+                for name, v in s._asdict().items():
+                    if not getattr(v, "ndim", 0):
+                        merged[name] = jnp.maximum(v, getattr(st2, name))
+                        continue
+                    v2 = getattr(st2, name)
+                    mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
+                    merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
+                return HSDState(**merged)
+
+            # round A: sharpen + re-cross on the full reject set
+            order, unfinished = gather_running(sflat)
+            idx = order[:finish_bucket]
+            take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
+            st2 = HSDState(*[take(v) for v in sflat])
+            resumed = unfinished[idx]
+            b2, c2 = b_sfw[idx], c_sfw[idx]
+            st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
+            k1 = base_k + opts.crossover_sharpen
+            st2 = _run_phase(
+                fctx, b2, c2, st2,
+                wopts.replace(stall_patience=_NO_STALL), fkset, wide,
+                opts.tol, k1, jnp.any,
+            )
+            st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
+            st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+            sflat = scatter(sflat, st2, idx, resumed)
+
+            # round B: the tail to convergence on a narrow bucket
+            tail_bucket = max(256, finish_bucket // 4)
+            order, unfinished = gather_running(sflat)
+            idx = order[:tail_bucket]
+            take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
+            st2 = HSDState(*[take(v) for v in sflat])
+            resumed = unfinished[idx]
+            b2, c2 = b_sfw[idx], c_sfw[idx]
+            st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
+            st2 = _run_phase(
+                fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
+                k1 + opts.finish_maxiter, jnp.any,
+            )
+            if opts.finish_restart:
+                stuck = (st2.status == jnp.int32(int(Status.STALLED))) | (
+                    st2.status == jnp.int32(int(Status.NUMERICAL))
+                )
+                fresh = _fresh_state(
+                    fctx, b2, c2, opts.replace(init_point="mehrotra"), fkset, wide
+                )
+                st2 = _restart_merge(st2, fresh, stuck)
+                st2 = _run_phase(
+                    fctx, b2, c2, st2,
+                    wopts.replace(stall_patience=_NO_STALL), fkset, wide,
+                    opts.tol, opts.finish_maxiter + 10, jnp.any,
+                )
+            st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
+            st2 = _crossover_state(
+                fctx, b2, c2, st2, fkset, opts, opts.tol, reopen=False
+            )
+            sflat = scatter(sflat, st2, idx, resumed)
+        else:
+            # ---- stage 4: compact the wide finish tail, resume (TWO
+            # rounds: a tail larger than the bucket overflows round 1 —
+            # those lanes stay RUNNING and round 2 gathers them;
+            # measured 2,913 overflow lanes answering at 1e-4 with a
+            # single round, 2026-08-19) ----
+            # the shared scalar loop-clock k advances across rounds, so
+            # each round's budget must extend past the previous round's
+            # endpoint.  Round 2 doubles as the fresh-restart fallback:
+            # it regathers STALLED/NUMERICAL lanes and reruns them from
+            # a cold Mehrotra start (see _restart_merge /
+            # _compact_resume(restart=True)).  ``finish_bucket`` sizes
+            # these rounds independently of the narrow stage-2 bucket.
+            sflat = _compact_resume(
+                fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
+                base_k + opts.finish_maxiter, finish_bucket,
+            )
+            sflat = _compact_resume(
+                fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
+                base_k + 2 * opts.finish_maxiter, finish_bucket,
+                restart=opts.finish_restart,
+            )
         outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
         return tuple(outs[k] for k in keys)
 
