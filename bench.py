@@ -78,14 +78,19 @@ FINISH = os.environ.get("BENCH_FINISH", "1") != "0"
 FINISH_CAP = int(os.environ.get("BENCH_FINISH_CAP", 3))
 FINISH_GONDZIO = int(os.environ.get("BENCH_FINISH_GONDZIO", 0))
 FINISH_MAXITER = int(os.environ.get("BENCH_FINISH_MAXITER", 20))
-FINISH_MODE = os.environ.get("BENCH_FINISH_MODE", "ipm")
-FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 0)) or None
+# crossover finish is the contract default: one wide basis solve per
+# lane instead of a wide IPM phase.  Measured full-scale on the chip
+# (2026-08-20, 65,536 lanes): ipm finish 32K LP/s with 22K lanes at the
+# finish iteration limit; crossover 58K LP/s with rejects limited by the
+# fallback bucket — sized below to cover the measured reject rate.
+FINISH_MODE = os.environ.get("BENCH_FINISH_MODE", "crossover")
+FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 8192)) or None
 # KKT-level refinement of each narrow Newton direction: one extra solve
 # per pass through the SAME factorization.  For the crossover finish
 # this is the acceptance knob: 0 -> 70%, 1 -> 83%, 2 -> 89% of lanes
 # accept the first basis guess (measured 2026-08-20), which sizes the
 # wide fallback bucket.
-KKT = int(os.environ.get("BENCH_KKT", 0))
+KKT = int(os.environ.get("BENCH_KKT", 2))
 TOL = float(os.environ.get("BENCH_TOL", 0)) or None
 
 
