@@ -85,6 +85,12 @@ FINISH_MAXITER = int(os.environ.get("BENCH_FINISH_MAXITER", 20))
 # fallback bucket — sized below to cover the measured reject rate.
 FINISH_MODE = os.environ.get("BENCH_FINISH_MODE", "crossover")
 FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 8192)) or None
+# crossover engine knobs: basis solves on the mixed set (f32 Pallas
+# factor + f64 refinement; ~10x cheaper than df64 at full width) with
+# batched basis-repair rounds replacing the df64 wide-IPM sharpen round
+CROSSOVER_KSET = os.environ.get("BENCH_CROSSOVER_KSET", "mixed1")
+REPAIR = int(os.environ.get("BENCH_REPAIR", 2))
+CROSSOVER_REFINE = int(os.environ.get("BENCH_CROSSOVER_REFINE", 2))
 # KKT-level refinement of each narrow Newton direction: one extra solve
 # per pass through the SAME factorization.  For the crossover finish
 # this is the acceptance knob: 0 -> 70%, 1 -> 83%, 2 -> 89% of lanes
@@ -107,6 +113,9 @@ def bench_options() -> SolverOptions:
             finish_maxiter=FINISH_MAXITER,
             finish_gondzio=FINISH_GONDZIO,
             finish_mode=FINISH_MODE,
+            crossover_kset=CROSSOVER_KSET,
+            crossover_repair=REPAIR,
+            crossover_refine=CROSSOVER_REFINE,
         )
         if FINISH
         else {}

@@ -392,12 +392,14 @@ class BatchLastKernels(KernelSet):
 
         Default "df64": df64 Pallas factors + Ozaki bf16 MXU formation +
         f64 residuals — a straight f64 finish would fall back to XLA's
-        emulated f64 (matmul ~65x slower than f32 on v5e), and the
-        f32-factor + iterative-refinement design ("mixed", ops/mixed.py)
-        cannot reach the 1e-6 contract — its f32 PSD-safety shift makes
-        IR stagnate at ~3e-4 (measured, exp_finish_debug2); it stays
-        selectable as a documented negative result.  See
-        :mod:`pycllp_tpu.ops.df64`.
+        emulated f64 (matmul ~65x slower than f32 on v5e).  The
+        f32-factor + iterative-refinement set ("mixed", ops/mixed.py)
+        cannot reach the 1e-6 contract for the late-IPM system (its f32
+        PSD-safety shift makes IR stagnate at ~3e-4 — measured,
+        exp_finish_debug2) but IS the shipping engine for the crossover
+        basis solves, whose 0/1-diagonal systems stay well-conditioned
+        (``SolverOptions.crossover_kset``).  See
+        :mod:`pycllp_tpu.ops.df64` / :mod:`pycllp_tpu.ops.mixed`.
         """
         cache = getattr(self, "_finish_kernels", None)
         if cache is None:
@@ -412,6 +414,8 @@ class BatchLastKernels(KernelSet):
                 from pycllp_tpu.ops.df64 import DF64_FASTFORM_KERNELS as fk
             elif which == "mixed":
                 from pycllp_tpu.ops.mixed import MIXED_FINISH_KERNELS as fk
+            elif which == "mixed1":
+                from pycllp_tpu.ops.mixed import MIXED_IR1_KERNELS as fk
             elif which == "reference":
                 fk = REFERENCE_KERNELS
             else:

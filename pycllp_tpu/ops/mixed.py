@@ -1,9 +1,20 @@
 """Mixed-precision kernel set: f32 Pallas factorizations, f64 refinement.
 
-The finish-phase engine behind the 1e-6 correctness contract at f32
-throughput (upstream contract: pycllp's default 1e-6 relative optimality
+Two roles (upstream contract: pycllp's default 1e-6 relative optimality
 tolerance on its test LP set; reference mount empty this build —
-SURVEY.md §0, BASELINE.md "Correctness" row).
+SURVEY.md §0, BASELINE.md "Correctness" row):
+
+* **Shipping role — the crossover basis-solve engine**
+  (``SolverOptions.crossover_kset="mixed"``): the vertex-crossover
+  finish solves ``B·Bᵀ``-systems whose diagonal is a 0/1 basis
+  indicator, so cond(M) = κ(B)² stays moderate and the f32-factor +
+  f64-IR scheme below converges well past the 1e-9 vertex verification
+  bound — at ~1/10 the cost of a df64 factorization per lane.
+* **Documented negative result — the wide IPM finish**: for the
+  late-IPM normal matrix (D = x/z spans ~1/μ²), the f32 PSD-safety
+  shift makes IR stagnate at ~3e-4 (measured, exp_finish_debug2) — the
+  IPM finish therefore uses the df64 set instead
+  (``finish_kset="df64"``).
 
 TPU v5e has no hardware f64: XLA emulates it, and an emulated f64 matmul
 runs ~65x slower than f32 (measured 2.3 vs 151 TFLOP/s on this chip), so
@@ -37,7 +48,7 @@ import jax.numpy as jnp
 
 from pycllp_tpu.ops.reference import KernelSet
 
-__all__ = ["MixedPrecisionKernels", "MIXED_FINISH_KERNELS"]
+__all__ = ["MixedPrecisionKernels", "MIXED_FINISH_KERNELS", "MIXED_IR1_KERNELS"]
 
 
 class PreparedMixed(typing.NamedTuple):
@@ -46,6 +57,11 @@ class PreparedMixed(typing.NamedTuple):
     A: typing.Any  # (…, m, n) wide (f64) — residual/matvec precision
     Asq: typing.Any  # (…, m, n) wide, elementwise A² for diag(M)
     lo: typing.Any  # base.prepare(A.astype(f32)) — factorization context
+    Amv: typing.Any = None  # Ozaki slice groups of A / Aᵀ: exact-GEMM f64
+    Armv: typing.Any = None  # matvecs on the MXU (shared 2-D A on TPU
+    # paths; XLA's emulated-f64 einsum is ~65x slower than f32 and was
+    # measured to dominate the whole crossover stage — same rationale
+    # and machinery as ops/df64.py's Amv/Armv)
 
 
 class MixedFactor(typing.NamedTuple):
@@ -74,15 +90,39 @@ class MixedPrecisionKernels(KernelSet):
     # -- wide-precision operator ------------------------------------------
     def prepare(self, A):
         A = jnp.asarray(A)
+        Amv = Armv = None
+        if A.ndim == 2 and A.dtype == jnp.float64:
+            from pycllp_tpu.ops.df64 import _ozaki_prepare, ozaki_params
+
+            m, n = A.shape
+            sm, nm, cm = ozaki_params(n)
+            sr, nr, cr = ozaki_params(m)
+            Amv = _ozaki_prepare(A, s=sm, n_slices=nm, cut=cm)
+            Armv = _ozaki_prepare(A.T, s=sr, n_slices=nr, cut=cr)
         return PreparedMixed(
-            A=A, Asq=A * A, lo=self.base.prepare(A.astype(jnp.float32))
+            A=A, Asq=A * A, lo=self.base.prepare(A.astype(jnp.float32)),
+            Amv=Amv, Armv=Armv,
         )
 
     def mv(self, ctx, x):
-        return jnp.einsum("...mn,...n->...m", ctx.A, x)
+        if getattr(ctx, "Amv", None) is None or x.ndim != 2:
+            return jnp.einsum("...mn,...n->...m", ctx.A, x)
+        from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_params
+
+        s, n_slices, cut = ozaki_params(ctx.A.shape[-1])
+        return _ozaki_matmul(
+            ctx.Amv[0], ctx.Amv[1], x.T, s=s, n_slices=n_slices, cut=cut
+        ).T
 
     def rmv(self, ctx, y):
-        return jnp.einsum("...mn,...m->...n", ctx.A, y)
+        if getattr(ctx, "Armv", None) is None or y.ndim != 2:
+            return jnp.einsum("...mn,...m->...n", ctx.A, y)
+        from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_params
+
+        s, n_slices, cut = ozaki_params(ctx.A.shape[-2])
+        return _ozaki_matmul(
+            ctx.Armv[0], ctx.Armv[1], y.T, s=s, n_slices=n_slices, cut=cut
+        ).T
 
     # -- factor in f32, refine in f64 --------------------------------------
     def factor(self, ctx, d, reg_eps):
@@ -112,10 +152,15 @@ class MixedPrecisionKernels(KernelSet):
     # fac.ctx (A, d, reg all wide), defining the system IR converges to.
 
 
-def _default_mixed():
+def _default_mixed(ir_steps: int = 3):
     from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
 
-    return MixedPrecisionKernels(BATCHLAST_KERNELS)
+    return MixedPrecisionKernels(BATCHLAST_KERNELS, ir_steps=ir_steps)
 
 
 MIXED_FINISH_KERNELS = _default_mixed()
+# crossover-economy sibling: the vertex crossover layers its own
+# true-residual refinement sweeps (crossover_refine) on top of each
+# solve, so one inner IR sweep suffices — every sweep saved is 2 Ozaki
+# matvecs + an f32 solve pair per RHS at full batch width
+MIXED_IR1_KERNELS = _default_mixed(ir_steps=1)

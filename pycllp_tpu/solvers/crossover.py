@@ -36,7 +36,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["basis_indicator", "crossover_candidate"]
+__all__ = ["basis_indicator", "vertex_candidate", "crossover_candidate"]
+
+
+def _top_m_indicator(score, m: int):
+    """0/1 indicator of the m largest scores per lane."""
+    _, idx = lax.top_k(score, m)  # top_k, not argsort: O(n log m) on TPU
+    lanes = jnp.arange(score.shape[0])[:, None]
+    return jnp.zeros_like(score).at[lanes, idx].set(1.0)
 
 
 def basis_indicator(x, z, m: int):
@@ -50,34 +57,25 @@ def basis_indicator(x, z, m: int):
     """
     ratio = x / jnp.maximum(z, jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype))
     ratio = jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)
-    _, idx = lax.top_k(ratio, m)  # top_k, not argsort: O(n log m) on TPU
-    lanes = jnp.arange(x.shape[0])[:, None]
-    return jnp.zeros_like(x).at[lanes, idx].set(1.0)
+    return _top_m_indicator(ratio, m)
 
 
-def crossover_candidate(
+def vertex_candidate(
     fctx,
     b,
     c,
-    x,
-    z,
+    d,
     fkset,
     *,
     reg_eps: float = 1e-12,
     refine: int = 2,
     feas_tol: float = 1e-9,
 ):
-    """Compute the vertex candidate and its per-lane acceptance mask.
+    """Solve the basis normal equations for indicator ``d``; verify per lane.
 
-    Parameters are in SCALED equality coordinates, wide dtype; ``x``/``z``
-    are the de-embedded interior point (x/τ, z/τ).  Returns
-    ``(xv, yv, zv, ok)`` with xv/zv clamped nonnegative; ``ok`` is the
-    sign/residual verification only — the caller layers the ρ-indicator
-    classification on top.
+    Returns ``(xv, yv, zv, ok)`` with xv/zv UNCLAMPED (the repair rounds
+    read their signs); ``ok`` is the finiteness/residual/sign test.
     """
-    m = b.shape[-1]
-    d = basis_indicator(x, z, m)
-
     fac = fkset.factor(fctx, d, reg_eps)
     w, yv = fkset.solve(fac, (b, fkset.mv(fctx, d * c)))
     xv = d * fkset.rmv(fctx, w)
@@ -102,4 +100,68 @@ def crossover_candidate(
         & (jnp.min(xv, axis=-1) >= -feas_tol * xscale)
         & (jnp.min(zv, axis=-1) >= -feas_tol * zscale)
     )
-    return jnp.maximum(xv, 0.0), yv, jnp.maximum(zv, 0.0), ok
+    return xv, yv, zv, ok
+
+
+def crossover_candidate(
+    fctx,
+    b,
+    c,
+    x,
+    z,
+    fkset,
+    *,
+    reg_eps: float = 1e-12,
+    refine: int = 2,
+    feas_tol: float = 1e-9,
+    repair: int = 0,
+):
+    """Compute the vertex candidate and its per-lane acceptance mask.
+
+    Parameters are in SCALED equality coordinates, wide dtype; ``x``/``z``
+    are the de-embedded interior point (x/τ, z/τ).  Returns
+    ``(xv, yv, zv, ok)`` with xv/zv clamped nonnegative; ``ok`` is the
+    sign/residual verification only — the caller layers the ρ-indicator
+    classification on top.
+
+    ``repair``: batched basis-repair rounds for rejected lanes.  The
+    measured reject anatomy (docs/PERFORMANCE.md round 3) is a basis
+    guess off by 1–2 indices, and a wrong candidate names its own error:
+    a basic variable with xv < 0 must leave, a nonbasic one with zv < 0
+    (negative reduced cost) must enter.  Each round pins those scores to
+    ∓∞ in the ratio ordering, re-selects the top-m basis, re-solves, and
+    re-verifies — a fixed unrolled loop of cheap batched solves at full
+    width, replacing the wide-IPM "sharpen" round (which paid df64
+    factorizations per iteration on a gathered bucket).  Accepted lanes
+    keep their first accepted candidate; score pins accumulate across
+    rounds so repeated violations walk monotonically through the order.
+    """
+    m = b.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype)
+    score = x / jnp.maximum(z, tiny)
+    score = jnp.where(jnp.isnan(score), -jnp.inf, score)
+    d = _top_m_indicator(score, m)
+
+    xv, yv, zv, ok = vertex_candidate(
+        fctx, b, c, d, fkset, reg_eps=reg_eps, refine=refine, feas_tol=feas_tol
+    )
+    xa, ya, za, acc = xv, yv, zv, ok
+    one = jnp.asarray(1.0, x.dtype)
+    inf_ = jnp.asarray(jnp.inf, score.dtype)
+    for _ in range(repair):
+        xscale = jnp.maximum(one, jnp.max(xv, axis=-1))[..., None]
+        zscale = jnp.maximum(one, jnp.max(jnp.abs(zv), axis=-1))[..., None]
+        leave = (d > 0.5) & (xv < -feas_tol * xscale)
+        enter = (d < 0.5) & (zv < -feas_tol * zscale)
+        score = jnp.where(leave, -inf_, jnp.where(enter, inf_, score))
+        d = _top_m_indicator(score, m)
+        xv, yv, zv, ok = vertex_candidate(
+            fctx, b, c, d, fkset, reg_eps=reg_eps, refine=refine, feas_tol=feas_tol
+        )
+        newly = ok & ~acc
+        nn = newly[..., None]
+        xa = jnp.where(nn, xv, xa)
+        ya = jnp.where(nn, yv, ya)
+        za = jnp.where(nn, zv, za)
+        acc = acc | newly
+    return jnp.maximum(xa, 0.0), ya, jnp.maximum(za, 0.0), acc

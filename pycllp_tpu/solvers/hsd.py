@@ -517,6 +517,19 @@ def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
     )
 
 
+def _crossover_kset(kset: KernelSet, fkset: KernelSet, opts: SolverOptions):
+    """Kernel set for the crossover basis solves (``opts.crossover_kset``).
+
+    "wide" → the finish set itself; otherwise resolved through the BASE
+    set's ``finish_kernels`` selector (e.g. "mixed": f32 Pallas factor +
+    f64 refinement — see the option's rationale in options.py).
+    """
+    if opts.crossover_kset in (None, "wide"):
+        return fkset
+    ck = kset.finish_kernels(opts.crossover_kset)
+    return ck
+
+
 def _crossover_state(
     fctx, b, c, state: HSDState, fkset: KernelSet, opts: SolverOptions, tol,
     reopen: bool = True,
@@ -533,6 +546,11 @@ def _crossover_state(
     crossover passes ``reopen=False`` so reject statuses — in
     particular STALLED, which downstream restart logic keys on — are
     left untouched.
+
+    ``fctx``/``fkset`` here are the CROSSOVER kernel set and its context
+    (``opts.crossover_kset``); its mv/rmv are wide-precision either way,
+    so the residual/ρ verification below is genuine f64 regardless of
+    how the factor runs.
     """
     from pycllp_tpu.solvers.crossover import crossover_candidate
 
@@ -547,6 +565,7 @@ def _crossover_state(
         fkset,
         refine=opts.crossover_refine,
         feas_tol=opts.crossover_feas_tol,
+        repair=opts.crossover_repair,
     )
     tau1 = jnp.ones_like(state.tau)
     kap0 = jnp.zeros_like(state.kappa)
@@ -866,9 +885,11 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         # on the fast path — see KernelSet.finish_kernels.
         fdtype = jnp.dtype(opts.finish_dtype)
         fkset = kset.finish_kernels(opts.finish_kset)
+        ckset = _crossover_kset(kset, fkset, opts)
         A_f, b_f, c_f = A_sw, b_sw, c_sw
         state = _fold_to_best(ctx, b_s, c_s, state, kset)
         ctx = fkset.prepare(A_f)
+        cctx = ctx if ckset is fkset else ckset.prepare(A_f)
         state = _cast_state(state, fdtype)
         state = state._replace(
             best_score=jnp.full_like(state.best_score, jnp.finfo(fdtype).max),
@@ -877,13 +898,14 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         if opts.finish_mode == "crossover":
             # one wide basis solve finishes accepted lanes as OPTIMAL;
             # rejects are re-opened RUNNING for the IPM continuation below
-            state = _crossover_state(ctx, b_f, c_f, state, fkset, opts, opts.tol)
+            state = _crossover_state(cctx, b_f, c_f, state, ckset, opts, opts.tol)
         else:
             reopen = state.status != jnp.int32(int(Status.NUMERICAL))
             state = state._replace(status=jnp.where(reopen, _RUNNING, state.status))
         wopts = opts.replace(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
+            kkt_refine=opts.finish_kkt_refine,
             gondzio_correctors=opts.finish_gondzio,
         )
         state = _run_phase(
@@ -906,7 +928,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             # the restart fallback below still sees them.
             state = _fold_to_best(ctx, b_f, c_f, state, fkset)
             state = _crossover_state(
-                ctx, b_f, c_f, state, fkset, opts, opts.tol, reopen=False
+                cctx, b_f, c_f, state, ckset, opts, opts.tol, reopen=False
             )
         if opts.finish_restart:
             # fresh-restart fallback for wide-stalled lanes (see
@@ -1157,6 +1179,8 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         # ---- stage 3: wide finish over ALL lanes, scanned per chunk ----
         fkset = kset.finish_kernels(opts.finish_kset)
         fctx = fkset.prepare(A_sw)
+        ckset = _crossover_kset(kset, fkset, opts)
+        cctx = fctx if ckset is fkset else ckset.prepare(A_sw)
         sflat = _fold_to_best(ctx, b_sf, c_sf, sflat, kset)
         sflat = _cast_state(sflat, wide)
         sflat = sflat._replace(
@@ -1167,16 +1191,20 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         wopts = opts.replace(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
+            kkt_refine=opts.finish_kkt_refine,
             gondzio_correctors=opts.finish_gondzio,
         )
 
         if opts.finish_mode == "crossover":
-            # ONE wide basis solve per lane (solvers/crossover.py):
-            # accepted lanes are OPTIMAL outright; rejects re-open
-            # RUNNING and fall through to the stage-4 IPM continuation.
-            # Straight-line code — no wide while_loop over ALL lanes —
-            # so stage 3 costs ~1 wide factorization/lane instead of
-            # `finish_cap` full IPM iterations.
+            # ONE basis solve per lane (+ crossover_repair re-solves for
+            # sign-violated bases, solvers/crossover.py): accepted lanes
+            # are OPTIMAL outright; rejects re-open RUNNING and fall
+            # through to the stage-4 tail.  Straight-line code — no wide
+            # while_loop over ALL lanes — and with the default
+            # crossover_kset="mixed" the factors run in the f32 Pallas
+            # kernels (f64 residual refinement + f64 verification), so
+            # the full-width stage costs ~a couple of narrow iterations
+            # instead of a df64 factorization per lane.
             per_lane = {
                 f_: v.reshape(K, chunk, *v.shape[1:])
                 for f_, v in sflat._asdict().items()
@@ -1186,7 +1214,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             def g(_, xs):
                 st_fields, b_s, c_s = xs
                 st = HSDState(k=jnp.int32(0), **st_fields)
-                st = _crossover_state(fctx, b_s, c_s, st, fkset, opts, opts.tol)
+                st = _crossover_state(cctx, b_s, c_s, st, ckset, opts, opts.tol)
                 return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
 
             base_k = 0
@@ -1222,57 +1250,20 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         )
 
         if opts.finish_mode == "crossover":
-            # ---- stage 4 (crossover): two compaction rounds. ----
-            # A reject means the narrow basis guess is off by 1-2
-            # indices (measured), so round A gathers ALL rejects into
-            # the ``finish_bucket``-wide batch, runs
-            # ``crossover_sharpen`` genuinely-wide Newton steps, and
-            # crosses over again (cumulative acceptance 70% → 97.5%
-            # measured).  The small remainder re-compacts into a
-            # bucket/4-wide round B that runs the IPM to budget, cold-
-            # restarts stuck lanes (_restart_merge), and ends with a
-            # rescue crossover: vertex acceptance tests the CANDIDATE's
-            # residuals, not the IPM's progress, so a lane stalled just
-            # above tol still answers with the exact vertex.  A masked
-            # while_loop pays its full width every iteration, which is
-            # why the long-running phases ride the NARROW bucket.
-            def gather_running(s):
-                unfinished = s.status == _RUNNING
-                return jnp.argsort(~unfinished), unfinished
-
-            def scatter(s, st2, idx, resumed):
-                merged = {}
-                for name, v in s._asdict().items():
-                    if not getattr(v, "ndim", 0):
-                        merged[name] = jnp.maximum(v, getattr(st2, name))
-                        continue
-                    v2 = getattr(st2, name)
-                    mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
-                    merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
-                return HSDState(**merged)
-
-            # round A: sharpen + re-cross on the full reject set
-            order, unfinished = gather_running(sflat)
-            idx = order[:finish_bucket]
-            take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
-            st2 = HSDState(*[take(v) for v in sflat])
-            resumed = unfinished[idx]
-            b2, c2 = b_sfw[idx], c_sfw[idx]
-            st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
-            k1 = base_k + opts.crossover_sharpen
-            st2 = _run_phase(
-                fctx, b2, c2, st2,
-                wopts.replace(stall_patience=_NO_STALL), fkset, wide,
-                opts.tol, k1, jnp.any,
-            )
-            st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
-            st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
-            sflat = scatter(sflat, st2, idx, resumed)
-
-            # round B: the tail to convergence on a narrow bucket
-            tail_bucket = max(256, finish_bucket // 4)
-            order, unfinished = gather_running(sflat)
-            idx = order[:tail_bucket]
+            # ---- stage 4 (crossover): ONE gathered df64 tail. ----
+            # Stage 3's repair rounds already fixed the off-by-1-2
+            # basis rejects at full width (they replaced the old wide-
+            # IPM "sharpen" round), so what reaches this point is the
+            # genuinely hard remainder: gather it once into the
+            # ``finish_bucket``-wide batch, run the wide IPM to budget,
+            # cold-restart stuck lanes (_restart_merge), and end with a
+            # rescue crossover — vertex acceptance tests the
+            # CANDIDATE's residuals, not the IPM's progress, so a lane
+            # stalled just above tol still answers with the exact
+            # vertex.  A masked while_loop pays its full width every
+            # iteration, which is why this rides a narrow bucket.
+            unfinished = sflat.status == _RUNNING
+            idx = jnp.argsort(~unfinished)[:finish_bucket]
             take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
             st2 = HSDState(*[take(v) for v in sflat])
             resumed = unfinished[idx]
@@ -1280,7 +1271,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
             st2 = _run_phase(
                 fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
-                k1 + opts.finish_maxiter, jnp.any,
+                base_k + opts.finish_maxiter, jnp.any,
             )
             if opts.finish_restart:
                 stuck = (st2.status == jnp.int32(int(Status.STALLED))) | (
@@ -1296,10 +1287,20 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
                     opts.tol, opts.finish_maxiter + 10, jnp.any,
                 )
             st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
+            # cctx is structure-only (shared A), so it serves the
+            # gathered batch unchanged
             st2 = _crossover_state(
-                fctx, b2, c2, st2, fkset, opts, opts.tol, reopen=False
+                cctx, b2, c2, st2, ckset, opts, opts.tol, reopen=False
             )
-            sflat = scatter(sflat, st2, idx, resumed)
+            merged = {}
+            for name, v in sflat._asdict().items():
+                if not getattr(v, "ndim", 0):
+                    merged[name] = jnp.maximum(v, getattr(st2, name))
+                    continue
+                v2 = getattr(st2, name)
+                mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
+                merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
+            sflat = HSDState(**merged)
         else:
             # ---- stage 4: compact the wide finish tail, resume (TWO
             # rounds: a tail larger than the bucket overflows round 1 —

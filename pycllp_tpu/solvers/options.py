@@ -136,14 +136,38 @@ class SolverOptions:
     #                verify per lane; rejected lanes fall back to the wide
     #                IPM continuation.  ~5x cheaper when the narrow phase
     #                identifies most bases (nondegenerate workloads).
-    crossover_refine: int = 2  # df64 refinement sweeps on the basis solves
+    crossover_refine: int = 2  # refinement sweeps on the basis solves
+    # (true-residual outer refinement in solvers/crossover.py)
     crossover_feas_tol: float = 1e-9  # per-lane vertex verification bound
     crossover_sharpen: int = 3  # wide IPM iterations between crossover
-    # attempts on rejected lanes: a reject means the narrow point's
-    # basis guess is off by 1-2 indices (measured); a few genuinely-wide
-    # Newton steps sharpen the partition and the SECOND attempt lands —
-    # measured cumulative acceptance 70% -> 97.5% at 3 (reference
-    # kernels, 512-lane 64^2 workload, 2026-08-20)
+    # attempts on rejected lanes (registry hsd_solve_batched path only;
+    # the scan path replaces the sharpen round with crossover_repair).
+    crossover_kset: str = "mixed1"  # kernel set for the crossover basis
+    # SOLVES (selected via KernelSet.finish_kernels):
+    #   "mixed1" f32 Pallas factor + f64 iterative refinement (1 inner
+    #            sweep; the crossover's own crossover_refine sweeps sit
+    #            on top).  Valid HERE even though mixed is a documented
+    #            negative result for the IPM finish: the basis system's
+    #            diagonal is the 0/1 indicator, so cond(M) = κ(B)² stays
+    #            moderate where the late-IPM D = x/z spans ~1/μ² and
+    #            defeats IR.  An ill-conditioned basis simply fails the
+    #            (always-f64) verification and falls back to the wide
+    #            IPM.  Measured on-chip at full scale (2026-08-20):
+    #            65,534/65,536 OPTIMAL, audit max 4.8e-12.
+    #   "mixed"  same with 3 inner sweeps (2 extra Ozaki-matvec pairs +
+    #            f32 solves per RHS per solve call).
+    #   "wide"   use the finish kernel set itself (df64 on TPU) — the
+    #            conservative choice, ~10x the factor cost.
+    crossover_repair: int = 2  # batched basis-repair rounds on rejected
+    # lanes: flip sign-violated indices (basic xv<0 out, nonbasic zv<0
+    # in), re-solve, re-verify — full-width, no gather, each round one
+    # cheap mixed factor+solve.  Replaces the df64 wide-IPM sharpen
+    # round on the scan path (measured anatomy: rejects are off by 1-2
+    # basis indices).
+    finish_kkt_refine: int = 0  # kkt_refine for the WIDE phases: KKT-level
+    # refinement is f32 insurance (raises the narrow point's crossover
+    # acceptance); genuine-f64 directions don't need it, and each pass
+    # costs an extra wide solve per iteration plus compile payload.
     finish_gondzio: int = 0  # Gondzio centrality correctors in the wide
     # phase only.  Wide factorizations are the expensive resource (df64
     # Pallas + f64 formation); extra corrector SOLVES through the same

@@ -114,6 +114,94 @@ class TestCrossoverCandidate:
         assert not bool(np.asarray(ok)[0])
 
 
+class TestBasisRepair:
+    def test_repair_fixes_off_by_one_basis(self):
+        # same known-vertex LP, but the interior point's ratio ordering
+        # votes a slack basic in place of x2 (off-by-one guess): the
+        # first candidate fails the sign test and one repair round must
+        # swap the violated pair and accept.
+        A = np.array([[1.0, 2.0, 1.0, 0.0], [3.0, 1.0, 0.0, 1.0]])
+        b = np.array([[2.0, 3.0]])
+        c = np.array([[-1.0, -1.0, 0.0, 0.0]])
+        # basis guess {x1, s1}: ratios put x2 third
+        x = np.array([[0.9, 1e-6, 0.4, 1e-7]])
+        z = np.array([[1e-7, 1e-5, 1e-7, 0.3]])
+        ctx = REFERENCE_KERNELS.prepare(A)
+        _, _, _, ok0 = crossover_candidate(
+            ctx, b, c, x, z, REFERENCE_KERNELS, refine=2, feas_tol=1e-9, repair=0
+        )
+        assert not bool(np.asarray(ok0)[0])
+        xv, yv, zv, ok = crossover_candidate(
+            ctx, b, c, x, z, REFERENCE_KERNELS, refine=2, feas_tol=1e-9, repair=2
+        )
+        assert bool(np.asarray(ok)[0])
+        np.testing.assert_allclose(np.asarray(xv)[0], [0.8, 0.6, 0.0, 0.0], atol=1e-10)
+
+    def test_repair_raises_acceptance_on_random_batch(self):
+        # random batch, interior points truncated early (capped narrow
+        # phase analogue): repair must strictly raise the accept count,
+        # and accepted lanes must carry contract-grade vertices.
+        from pycllp_tpu.solvers.hsd import hsd_solve_batched as _solve
+
+        lp = random_standard_lp(16, 24, nlp=64, seed=11, dtype=np.float32)
+        eq = lp.to_equality_form()
+        A = np.asarray(eq.A, np.float64)
+        b = np.asarray(eq.b, np.float64)
+        c = np.asarray(eq.c, np.float64)
+        # a half-converged interior point: few IPM iterations only
+        out = _solve(A, b, c, SolverOptions(tol=1e-2, maxiter=7, dtype="float64"))
+        x = np.asarray(out["x"])
+        z = np.asarray(out["z"])
+        from pycllp_tpu.utils.scaling import ruiz_equilibrate, scale_problem
+
+        sc = ruiz_equilibrate(A)
+        A_s, b_s, c_s = scale_problem(A, b, c, sc)
+        xs = x / np.asarray(sc.col)
+        zs = z * np.asarray(sc.col)
+        ctx = REFERENCE_KERNELS.prepare(np.asarray(A_s))
+        accs = []
+        for rep in (0, 3):
+            _, _, _, ok = crossover_candidate(
+                ctx, np.asarray(b_s), np.asarray(c_s), xs, zs,
+                REFERENCE_KERNELS, refine=2, feas_tol=1e-9, repair=rep,
+            )
+            accs.append(int(np.asarray(ok).sum()))
+        assert accs[1] > accs[0], accs
+
+    def test_mixed_kset_crossover_matches_reference(self):
+        # the shipping config: basis solves on f32 Pallas factors + f64
+        # refinement ("mixed") must accept the same lanes as the f64
+        # oracle on a well-conditioned batch, with the same vertices.
+        from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
+
+        mixed = BATCHLAST_KERNELS.finish_kernels("mixed")
+        lp = random_standard_lp(24, 36, nlp=32, seed=12, dtype=np.float32)
+        eq = lp.to_equality_form()
+        A = np.asarray(eq.A, np.float64)
+        b = np.asarray(eq.b, np.float64)
+        c = np.asarray(eq.c, np.float64)
+        out = hsd_solve_batched(A, b, c, SolverOptions(tol=1e-5, dtype="float64"))
+        tau = np.maximum(np.asarray(out["tau"]), 1e-300)
+        x = np.asarray(out["x"])  # already de-embedded by _package
+        z = np.asarray(out["z"])
+        ctx_r = REFERENCE_KERNELS.prepare(A)
+        ctx_m = mixed.prepare(A)
+        xr, _, _, okr = crossover_candidate(
+            ctx_r, b, c, x, z, REFERENCE_KERNELS, refine=2, repair=2
+        )
+        xm, _, _, okm = crossover_candidate(ctx_m, b, c, x, z, mixed, refine=2, repair=2)
+        okr, okm = np.asarray(okr), np.asarray(okm)
+        assert okr.mean() > 0.8, okr.mean()
+        # mixed must accept (nearly) everything the oracle accepts…
+        agree = (okm & okr).sum() / max(okr.sum(), 1)
+        assert agree >= 0.95, (okr.sum(), okm.sum())
+        # …and agree on the accepted vertices to f64-refinement accuracy
+        both = okm & okr
+        np.testing.assert_allclose(
+            np.asarray(xm)[both], np.asarray(xr)[both], atol=1e-8
+        )
+
+
 class TestCrossoverEndToEnd:
     def test_batched_meets_contract(self):
         lp = random_standard_lp(24, 36, nlp=48, seed=5, dtype=np.float32)

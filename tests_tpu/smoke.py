@@ -166,9 +166,52 @@ def check_probe():
     assert max(rels) <= 1e-6, f"audit max {max(rels):.2e} > 1e-6"
 
 
+@section("256-lane crossover finish (mixed basis solves): OPTIMAL + 1e-6 audit")
+def check_crossover_mixed():
+    from pycllp_tpu import SolverOptions
+    from pycllp_tpu.io.generate import random_standard_lp
+    from pycllp_tpu.ops.batchlast import BATCHLAST_KERNELS
+    from pycllp_tpu.solvers.hsd import hsd_solve_batched
+
+    B = 256
+    lp = random_standard_lp(64, 64, nlp=B, seed=5, dtype=np.float32)
+    eq = lp.to_equality_form()
+    opts = SolverOptions(
+        tol=2e-7, maxiter=40, dtype="float32", stall_patience=3, stall_rtol=0.05,
+        refine_steps=0, init_point="mehrotra", kkt_refine=2,
+        finish_dtype="float64", switch_tol=1e-5, finish_maxiter=20,
+        finish_mode="crossover", crossover_kset="mixed", crossover_repair=2,
+    )
+    out = hsd_solve_batched(
+        np.asarray(eq.A, np.float32), np.asarray(eq.b, np.float32),
+        np.asarray(eq.c, np.float32), opts, BATCHLAST_KERNELS,
+    )
+    st = np.asarray(out["status"])
+    obj = np.asarray(out["objective"])
+    uniq, cnt = np.unique(st, return_counts=True)
+    print(f"  statuses: {dict(zip(uniq.tolist(), cnt.tolist()))}", flush=True)
+    assert (st == 0).mean() > 0.9, f"only {(st == 0).sum()}/{B} OPTIMAL"
+    from scipy.optimize import linprog
+
+    rels = []
+    for i in np.linspace(0, B - 1, 64, dtype=int):
+        res = linprog(
+            -np.asarray(lp.c)[i].astype(np.float64),
+            A_ub=np.asarray(lp.A, np.float64),
+            b_ub=np.asarray(lp.b)[i].astype(np.float64),
+            bounds=[(0, None)] * 64,
+            method="highs",
+        )
+        if res.status == 0:
+            rels.append(abs(-float(obj[i]) + res.fun) / max(1, abs(res.fun)))
+    print(f"  audit: max {max(rels):.2e} mean {np.mean(rels):.2e}", flush=True)
+    assert max(rels) <= 1e-6, f"audit max {max(rels):.2e} > 1e-6"
+
+
 if __name__ == "__main__":
     t0 = time.time()
-    for fn in (check_backend, check_batchlast, check_df64, check_ozaki, check_probe):
+    for fn in (check_backend, check_batchlast, check_df64, check_ozaki,
+               check_probe, check_crossover_mixed):
         fn()
     print(f"[smoke] total {time.time()-t0:.1f}s; "
           f"{'ALL PASS' if not FAILURES else 'FAILED: ' + ', '.join(FAILURES)}", flush=True)
