@@ -90,7 +90,8 @@ FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 8192)) or None
 # batched basis-repair rounds replacing the df64 wide-IPM sharpen round
 CROSSOVER_KSET = os.environ.get("BENCH_CROSSOVER_KSET", "mixed1")
 REPAIR = int(os.environ.get("BENCH_REPAIR", 2))
-CROSSOVER_REFINE = int(os.environ.get("BENCH_CROSSOVER_REFINE", 2))
+CROSSOVER_REFINE = int(os.environ.get("BENCH_CROSSOVER_REFINE", 1))
+CROSSOVER_FEAS = float(os.environ.get("BENCH_FEAS", 1e-9))
 # KKT-level refinement of each narrow Newton direction: one extra solve
 # per pass through the SAME factorization.  For the crossover finish
 # this is the acceptance knob: 0 -> 70%, 1 -> 83%, 2 -> 89% of lanes
@@ -116,6 +117,7 @@ def bench_options() -> SolverOptions:
             crossover_kset=CROSSOVER_KSET,
             crossover_repair=REPAIR,
             crossover_refine=CROSSOVER_REFINE,
+            crossover_feas_tol=CROSSOVER_FEAS,
         )
         if FINISH
         else {}

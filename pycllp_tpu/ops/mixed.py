@@ -138,12 +138,26 @@ class MixedPrecisionKernels(KernelSet):
 
     def solve(self, fac, rs):
         wide = rs[0].dtype
+        k = len(rs)
         vs = tuple(
             v.astype(wide)
             for v in self.base.solve(fac.fac_lo, tuple(r.astype(jnp.float32) for r in rs))
         )
+        if not self.ir_steps:
+            return vs
+        # one stacked IR residual per sweep: the k RHS share A and d, so
+        # M·[v₁;…;vₖ] is one (k·B)-batch mv/rmv pair instead of k — the
+        # matvec launch, not its FLOPs, is the unit cost at these shapes
+        # (experiments/exp_crossover_cost.py)
+        d_k = jnp.concatenate([fac.d] * k, axis=0) if k > 1 else fac.d
+        reg_k = jnp.concatenate([fac.reg] * k, axis=0) if k > 1 else fac.reg
+        ctx = fac.ctx
         for _ in range(self.ir_steps):
-            es = tuple(r - self.matvec_M(fac, v) for r, v in zip(rs, vs))
+            V = jnp.concatenate(vs, axis=0) if k > 1 else vs[0]
+            MV = self.mv(ctx, d_k * self.rmv(ctx, V)) + reg_k[..., None] * V
+            R = jnp.concatenate(rs, axis=0) if k > 1 else rs[0]
+            E = R - MV
+            es = tuple(E[i * rs[0].shape[0]:(i + 1) * rs[0].shape[0]] for i in range(k))
             cs = self.base.solve(fac.fac_lo, tuple(e.astype(jnp.float32) for e in es))
             vs = tuple(v + c.astype(wide) for v, c in zip(vs, cs))
         return vs

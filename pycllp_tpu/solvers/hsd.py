@@ -1250,28 +1250,62 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         )
 
         if opts.finish_mode == "crossover":
-            # ---- stage 4 (crossover): ONE gathered df64 tail. ----
-            # Stage 3's repair rounds already fixed the off-by-1-2
-            # basis rejects at full width (they replaced the old wide-
-            # IPM "sharpen" round), so what reaches this point is the
-            # genuinely hard remainder: gather it once into the
-            # ``finish_bucket``-wide batch, run the wide IPM to budget,
-            # cold-restart stuck lanes (_restart_merge), and end with a
-            # rescue crossover — vertex acceptance tests the
-            # CANDIDATE's residuals, not the IPM's progress, so a lane
-            # stalled just above tol still answers with the exact
-            # vertex.  A masked while_loop pays its full width every
-            # iteration, which is why this rides a narrow bucket.
-            unfinished = sflat.status == _RUNNING
-            idx = jnp.argsort(~unfinished)[:finish_bucket]
-            take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
-            st2 = HSDState(*[take(v) for v in sflat])
-            resumed = unfinished[idx]
+            # ---- stage 4 (crossover): two gathered df64 rounds. ----
+            # Stage 3's mixed-engine rejects split into two anatomies:
+            # (a) RIGHT basis, ill-conditioned — the f32-factor IR
+            # missed the 1e-9 verification; a df64 basis solve accepts
+            # these instantly; (b) wrong basis beyond sign repair —
+            # these need genuinely wide IPM steps.  Round 1 therefore
+            # gathers ALL rejects wide (``finish_bucket``), crosses
+            # over immediately with the DF64 kernels (catches (a) at
+            # one straight-line factor), runs a SHORT wide IPM
+            # (``finish_cap`` budget — a masked while_loop pays its
+            # full width every iteration, so the wide round must stay
+            # shallow), and re-crosses.  Round 2 re-gathers the
+            # remainder into a bucket/8 batch for the deep work: IPM
+            # to ``finish_maxiter``, cold restart of stuck lanes
+            # (_restart_merge), and a final rescue crossover —
+            # vertex acceptance tests the CANDIDATE's residuals, not
+            # the IPM's progress, so a lane stalled just above tol
+            # still answers with the exact vertex.
+            def gather(s, width):
+                unfinished = s.status == _RUNNING
+                idx = jnp.argsort(~unfinished)[:width]
+                take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
+                st2 = HSDState(*[take(v) for v in s])
+                return st2, idx, unfinished[idx]
+
+            def scatter(s, st2, idx, resumed):
+                merged = {}
+                for name, v in s._asdict().items():
+                    if not getattr(v, "ndim", 0):
+                        merged[name] = jnp.maximum(v, getattr(st2, name))
+                        continue
+                    v2 = getattr(st2, name)
+                    mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
+                    merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
+                return HSDState(**merged)
+
+            # round 1: wide, shallow — df64 cross, short IPM, df64 cross
+            st2, idx, resumed = gather(sflat, finish_bucket)
+            b2, c2 = b_sfw[idx], c_sfw[idx]
+            st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+            st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
+            k1 = base_k + finish_cap
+            st2 = _run_phase(
+                fctx, b2, c2, st2, wopts, fkset, wide, opts.tol, k1, jnp.any
+            )
+            st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
+            st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+            sflat = scatter(sflat, st2, idx, resumed)
+
+            # round 2: narrow, deep — IPM to budget, restart, rescue
+            st2, idx, resumed = gather(sflat, max(256, finish_bucket // 8))
             b2, c2 = b_sfw[idx], c_sfw[idx]
             st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
             st2 = _run_phase(
                 fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
-                base_k + opts.finish_maxiter, jnp.any,
+                k1 + opts.finish_maxiter, jnp.any,
             )
             if opts.finish_restart:
                 stuck = (st2.status == jnp.int32(int(Status.STALLED))) | (
@@ -1287,20 +1321,10 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
                     opts.tol, opts.finish_maxiter + 10, jnp.any,
                 )
             st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
-            # cctx is structure-only (shared A), so it serves the
-            # gathered batch unchanged
             st2 = _crossover_state(
-                cctx, b2, c2, st2, ckset, opts, opts.tol, reopen=False
+                fctx, b2, c2, st2, fkset, opts, opts.tol, reopen=False
             )
-            merged = {}
-            for name, v in sflat._asdict().items():
-                if not getattr(v, "ndim", 0):
-                    merged[name] = jnp.maximum(v, getattr(st2, name))
-                    continue
-                v2 = getattr(st2, name)
-                mask = resumed.reshape(resumed.shape + (1,) * (v2.ndim - 1))
-                merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
-            sflat = HSDState(**merged)
+            sflat = scatter(sflat, st2, idx, resumed)
         else:
             # ---- stage 4: compact the wide finish tail, resume (TWO
             # rounds: a tail larger than the bucket overflows round 1 —
