@@ -91,7 +91,9 @@ FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 8192)) or None
 CROSSOVER_KSET = os.environ.get("BENCH_CROSSOVER_KSET", "mixed1")
 REPAIR = int(os.environ.get("BENCH_REPAIR", 2))
 CROSSOVER_REFINE = int(os.environ.get("BENCH_CROSSOVER_REFINE", 1))
-CROSSOVER_FEAS = float(os.environ.get("BENCH_FEAS", 1e-9))
+CROSSOVER_FEAS = float(
+    os.environ.get("BENCH_CROSSOVER_FEAS", os.environ.get("BENCH_FEAS", 1e-9))
+)
 # KKT-level refinement of each narrow Newton direction: one extra solve
 # per pass through the SAME factorization.  For the crossover finish
 # this is the acceptance knob: 0 -> 70%, 1 -> 83%, 2 -> 89% of lanes
@@ -118,6 +120,9 @@ def bench_options() -> SolverOptions:
             crossover_repair=REPAIR,
             crossover_refine=CROSSOVER_REFINE,
             crossover_feas_tol=CROSSOVER_FEAS,
+            # explicit: narrow kkt_refine is the crossover-acceptance
+            # knob; the wide phases' genuine-f64 directions don't need it
+            finish_kkt_refine=int(os.environ.get("BENCH_FINISH_KKT", 0)),
         )
         if FINISH
         else {}

@@ -356,7 +356,12 @@ class BatchLastKernels(KernelSet):
         return jnp.einsum("...mn,...m->...n", ctx.A, y)
 
     def factor(self, ctx, d, reg_eps):
-        if d.dtype == jnp.float64:
+        # route on the RESULT dtype: an f64 A with f32 d still promotes
+        # M to f64, which Mosaic cannot lower ("64-bit types are not
+        # supported" — exactly how tests_tpu/smoke.py's batchlast
+        # section died in round 3 when its input construction silently
+        # promoted A to f64 under jax_enable_x64)
+        if jnp.float64 in (d.dtype, ctx.A.dtype):
             base = ctx if isinstance(ctx, PreparedA) else PreparedA(ctx.A, ctx.Asq)
             return REFERENCE_KERNELS.factor(base, d, reg_eps)
         if not isinstance(ctx, PreparedBL):

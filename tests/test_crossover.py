@@ -254,6 +254,26 @@ class TestCrossoverEndToEnd:
         rels = _scipy_rel_errs(lp, np.asarray(out["objective"]), 24)
         assert rels.max() <= 1e-6, rels.max()
 
+    def test_batched_A_crossover_finish(self):
+        # per-instance (B, m, n) A through the DEFAULT crossover config
+        # (mixed1 basis engine → k=2 RHS per basis solve): the stacked
+        # IR sweep in MixedPrecisionKernels.solve used to broadcast the
+        # einsum batch B against k·B and fail at trace time (ADVICE r3).
+        lp = random_standard_lp(12, 18, nlp=6, seed=8, dtype=np.float32)
+        eq = lp.to_equality_form()
+        A2 = np.asarray(eq.A, np.float32)
+        A3 = np.broadcast_to(A2, (6,) + A2.shape).copy()
+        out = hsd_solve_batched(
+            A3,
+            np.asarray(eq.b, np.float32),
+            np.asarray(eq.c, np.float32),
+            _finish_opts("crossover"),
+        )
+        st = np.asarray(out["status"])
+        assert np.all(st == int(Status.OPTIMAL)), np.unique(st, return_counts=True)
+        rels = _scipy_rel_errs(lp, np.asarray(out["objective"]), 18)
+        assert rels.max() <= 1e-6, rels.max()
+
     def test_infeasible_lanes_not_hijacked(self):
         # an infeasible instance mixed into the batch must stay
         # INFEASIBLE through the crossover finish (eligibility mask)

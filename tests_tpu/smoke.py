@@ -62,7 +62,10 @@ def check_batchlast():
 
     rng = np.random.default_rng(0)
     m, n, B = 64, 128, 256
-    A = rng.normal(size=(m, n)).astype(np.float32) / np.sqrt(n)
+    # cast LAST: `f32_array / np.sqrt(n)` silently promotes to f64 (the
+    # round-3 version did exactly that, and under x64 the f64 M reached
+    # Mosaic → "64-bit types are not supported")
+    A = (rng.normal(size=(m, n)) / np.sqrt(n)).astype(np.float32)
     d = rng.uniform(0.5, 2.0, size=(B, n)).astype(np.float32)
     r = rng.normal(size=(B, m)).astype(np.float32)
     with jax.default_matmul_precision("highest"):
@@ -76,30 +79,62 @@ def check_batchlast():
     assert rel < 1e-4, f"batchlast vs reference rel err {rel:.2e}"
 
 
-@section("df64 Pallas factor/solve ~1e-13 vs XLA f64")
+@section("df64 Pallas factor/solve: backward error at the df64 unit")
 def check_df64():
+    """Residual-based contract (round-4 rewrite).
+
+    The round-3 section compared the df64 solve DIRECTLY against XLA's
+    emulated f64 at a d-spread of 1e±12 with reg 1e-12 — but then
+    cond(M+δI) ≈ 1e12, and two independent ~2⁻⁴⁸ factorizations
+    legitimately disagree by ~cond·u ≈ 1e-3: the 1e-9 bound asserted
+    something the math does not promise, and the section was red at HEAD
+    against a CORRECT kernel.  The honest contracts are:
+
+    (a) backward error: the scaled residual ‖Mv−r‖/(‖M‖‖v‖+‖r‖) of a
+        backward-stable solve is ~m·u_df REGARDLESS of conditioning —
+        checked against the exact M built in host numpy f64;
+    (b) forward agreement vs XLA f64 at a MODERATE spread (1e±3,
+        cond ≈ 1e7) where the ~1e-8 agreement bound is meaningful.
+
+    Both catch the round-2 breakage class (garbage slices → O(1) errors)
+    with 5+ decades of margin.
+    """
     from pycllp_tpu.ops.df64 import DF64_FINISH_KERNELS
     from pycllp_tpu.ops.reference import REFERENCE_KERNELS
 
     rng = np.random.default_rng(1)
     m, n, B = 64, 128, 256
     A = rng.normal(size=(m, n)) / np.sqrt(n)
-    # late-IPM-like spread: d spans ~1e-12..1e12
+    # (a) late-IPM-like spread (within the emulated-f64 range: TPU f64
+    # carries an F32 EXPONENT RANGE — 1e40 is inf on the chip)
     d = 10.0 ** rng.uniform(-12, 12, size=(B, n))
     r = rng.normal(size=(B, m))
     ctx = DF64_FINISH_KERNELS.prepare(jnp.asarray(A))
     fac = DF64_FINISH_KERNELS.factor(ctx, jnp.asarray(d), 1e-12)
     (v,) = DF64_FINISH_KERNELS.solve(fac, (jnp.asarray(r),))
+    v = np.asarray(v)
+    assert np.isfinite(v).all(), "df64 solve produced non-finite values"
+    reg = np.asarray(fac.reg)
+    M = np.einsum("mn,bn,kn->bmk", A, d, A) + reg[:, None, None] * np.eye(m)
+    res = np.abs(np.einsum("bmk,bk->bm", M, v) - r)
+    scale = (
+        np.abs(M).sum(-1).max(-1) * np.abs(v).max(-1) + np.abs(r).max(-1)
+    )
+    back = np.max(res.max(-1) / scale)
+    # m·u_df ≈ 64·1.8e-15 ≈ 1.2e-13; round-2-class breakage is ~1e0
+    assert back < 1e-11, f"df64 backward error {back:.2e}"
+
+    # (b) moderate spread: direct agreement vs XLA emulated f64
+    d2 = 10.0 ** rng.uniform(-3, 3, size=(B, n))
+    fac2 = DF64_FINISH_KERNELS.factor(ctx, jnp.asarray(d2), 1e-12)
+    (v2,) = DF64_FINISH_KERNELS.solve(fac2, (jnp.asarray(r),))
     ctx_r = REFERENCE_KERNELS.prepare(jnp.asarray(A, np.float64))
-    fac_r = REFERENCE_KERNELS.factor(ctx_r, jnp.asarray(d), 1e-12)
+    fac_r = REFERENCE_KERNELS.factor(ctx_r, jnp.asarray(d2), 1e-12)
     (v_r,) = REFERENCE_KERNELS.solve(fac_r, (jnp.asarray(r),))
-    num = np.abs(np.asarray(v) - np.asarray(v_r))
+    num = np.abs(np.asarray(v2) - np.asarray(v_r))
     den = np.maximum(np.max(np.abs(np.asarray(v_r)), axis=-1, keepdims=True), 1e-30)
     rel = np.max(num / den)
-    # XLA f64 on TPU is emulated double-double (~2^-48); df64 is the same
-    # class.  1e-9 catches the round-2 breakage (errors were ~1e-3).
-    assert rel < 1e-9, f"df64 vs f64 rel err {rel:.2e}"
-    assert np.isfinite(np.asarray(v)).all(), "df64 solve produced non-finite values"
+    assert rel < 1e-7, f"df64 vs f64 rel err {rel:.2e} (moderate spread)"
 
 
 @section("Ozaki bf16 formation exact vs f64 einsum")
@@ -109,8 +144,12 @@ def check_ozaki():
     rng = np.random.default_rng(2)
     m, n, B = 64, 128, 512
     A = rng.normal(size=(m, n)) / np.sqrt(n)
-    # the round-2 killer: per-column spreads far beyond f32 range
-    d = 10.0 ** rng.uniform(-40, 40, size=(B, n))
+    # per-column spreads far beyond F32 range (the round-2 killer), but
+    # within the EMULATED-f64 envelope: XLA f64 on this TPU is an f32
+    # pair with f32 exponent range (measured: 1e40 → inf, 1e-60 → 0),
+    # so ±40-decade inputs cannot even exist on the device — the solver
+    # caps d=x/z at 1e30 for exactly this reason (hsd._make_step_fn).
+    d = 10.0 ** rng.uniform(-30, 30, size=(B, n))
     kset = DF64_FINISH_KERNELS
     ctx = kset.prepare(jnp.asarray(A))
     from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_params
