@@ -126,6 +126,45 @@ class TestBatchedSchur:
         x = np.asarray(out["x"])
         np.testing.assert_allclose(A @ x, b, rtol=1e-6, atol=1e-6)
 
+    def test_m256_f32_finish_meets_contract(self, mesh8):
+        """The round-3 bench case that iteration-capped: m=256 in f32.
+
+        VERDICT r3 item 6 / BENCH_ALL_r03's schur line: every m=256
+        instance ended ITERATION_LIMIT at f32/tol 1e-5 because the
+        sharded loop ran unscaled from a blind start with no stall
+        insurance.  With the batched-path playbook ported in (Ruiz
+        scaling, Mehrotra start, best-iterate + stall clock, wide
+        finish), the same configuration must now reach OPTIMAL at the
+        1e-6 contract vs scipy.
+        """
+        m, n, B = 256, 2048, 2
+        rng = np.random.default_rng(0)
+        A, b0, c0 = random_equality_lp(m, n, seed=9)
+        b = np.stack([b0 * (1 + 0.05 * rng.random(m)) for _ in range(B)]).astype(
+            np.float32
+        )
+        c = np.stack([c0 + 0.02 * rng.random(n) for _ in range(B)]).astype(np.float32)
+        out = column_sharded_hsd_solve(
+            A.astype(np.float32), b, c,
+            SolverOptions(
+                tol=1e-6, dtype="float32", maxiter=60, init_point="mehrotra",
+                stall_patience=6, finish_dtype="float64", switch_tol=1e-4,
+                finish_maxiter=30,
+            ),
+            mesh=mesh8,
+        )
+        st = np.asarray(out["status"])
+        assert np.all(st == int(Status.OPTIMAL)), st
+        for i in range(B):
+            res = linprog(
+                c[i].astype(np.float64), A_eq=A, b_eq=b[i].astype(np.float64),
+                bounds=[(0, None)] * n, method="highs",
+            )
+            rel = abs(float(np.asarray(out["objective"])[i]) - res.fun) / max(
+                1, abs(res.fun)
+            )
+            assert rel < 1e-6, (i, rel)
+
 
 class TestShardedFactor:
     """Distributed blocked Cholesky (parallel/dchol.py): VERDICT r2
