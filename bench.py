@@ -316,32 +316,58 @@ def run_netlib():
 
 def run_weak():
     """Weak scaling: iterations/s with the scenario batch sharded over
-    1..n_devices (per-device batch held constant)."""
+    1..n_devices (per-device batch held constant), at bench-realistic
+    shapes (64×64, BENCH_PER_DEV ≥ 4096 lanes/device — VERDICT r3 weak
+    item 5), for BOTH termination modes: ``collective`` (in-loop pmax
+    gate, every shard steps in lockstep) and ``local`` (independent
+    shard loops, no per-iteration sync).  Emits the collective-mode
+    efficiency as the JSON line; the full curve goes to stderr (and
+    docs/PERFORMANCE.md).
+    """
     from pycllp_tpu.parallel import scenario_mesh, sharded_hsd_solve
 
     n_dev_total = jax.device_count()
-    per_dev = int(os.environ.get("BENCH_PER_DEV", 2048))
-    opts = bench_options().replace(maxiter=20, stall_patience=100, tol=1e-12)  # fixed work
-    results = {}
+    per_dev = int(os.environ.get("BENCH_PER_DEV", 4096))
+    # fixed work for a scaling measurement: narrow IPM only (the finish
+    # phase's gather/drain stages are batch-global, not per-iteration),
+    # uncapped by tolerance or the stall clock
+    opts = bench_options().replace(
+        maxiter=20, stall_patience=100, tol=1e-12, kkt_refine=0,
+        finish_dtype=None,
+    )
     lp = random_standard_lp(M, N, nlp=per_dev * n_dev_total, seed=3, dtype=np.float32)
     eq = lp.to_equality_form()
     A = np.asarray(eq.A, np.float32)
     sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_dev_total]
-    for nd in sizes:
-        mesh = scenario_mesh(nd)
-        B = per_dev * nd
-        b = np.asarray(eq.b[:B], np.float32)
-        c = np.asarray(eq.c[:B], np.float32)
-        out = sharded_hsd_solve(A, b, c, opts, mesh=mesh)
-        np.asarray(out["objective"])  # warm
-        t0 = time.time()
-        out = sharded_hsd_solve(A, b, c, opts, mesh=mesh)
-        iters = np.asarray(out["iterations"])
-        dt = time.time() - t0
-        it_per_s = iters.sum() / dt
-        results[nd] = it_per_s
-        log(f"weak scaling {nd} dev: {B} lanes, {iters.sum()} lane-iters in {dt:.3f}s -> {it_per_s:.0f} it/s")
-    eff = results[sizes[-1]] / (results[sizes[0]] * sizes[-1] / sizes[0])
+    results = {}
+    for term in ("collective", "local"):
+        for nd in sizes:
+            mesh = scenario_mesh(nd)
+            B = per_dev * nd
+            b = np.asarray(eq.b[:B], np.float32)
+            c = np.asarray(eq.c[:B], np.float32)
+            out = sharded_hsd_solve(A, b, c, opts, mesh=mesh, termination=term)
+            np.asarray(out["objective"])  # warm
+            t0 = time.time()
+            out = sharded_hsd_solve(A, b, c, opts, mesh=mesh, termination=term)
+            iters = np.asarray(out["iterations"])
+            dt = time.time() - t0
+            it_per_s = iters.sum() / dt
+            results[(term, nd)] = it_per_s
+            log(
+                f"weak scaling [{term}] {nd} dev: {B} lanes, {iters.sum()} "
+                f"lane-iters in {dt:.3f}s -> {it_per_s:.0f} it/s"
+            )
+    for term in ("collective", "local"):
+        base = results[(term, sizes[0])]
+        curve = [
+            f"{nd}dev {100 * results[(term, nd)] / (base * nd / sizes[0]):.1f}%"
+            for nd in sizes
+        ]
+        log(f"weak-scaling efficiency [{term}]: {' '.join(curve)}")
+    eff = results[("collective", sizes[-1])] / (
+        results[("collective", sizes[0])] * sizes[-1] / sizes[0]
+    )
     emit("weak-scaling efficiency (iterations/s)", 100 * eff, "%", eff / 0.90)
 
 

@@ -37,6 +37,9 @@ embedding variables: x ≥ 0, y free, z ≥ 0, τ ≥ 0, κ ≥ 0; residuals
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -563,7 +566,7 @@ def _crossover_state(
 
     tiny = jnp.asarray(jnp.finfo(state.x.dtype).tiny, state.x.dtype)
     tau_safe = jnp.maximum(state.tau, tiny)
-    xv, yv, zv, ok = crossover_candidate(
+    xv, yv, zv, ok, rp, rd = crossover_candidate(
         fctx,
         b,
         c,
@@ -576,7 +579,11 @@ def _crossover_state(
     )
     tau1 = jnp.ones_like(state.tau)
     kap0 = jnp.zeros_like(state.kappa)
-    rp, rd, rg, mu = _residuals(fctx, b, c, xv, yv, zv, tau1, kap0, fkset)
+    # ρ test from the residuals the verification already computed (rd is
+    # the z-clamp residue — see crossover_candidate's return contract);
+    # the gap/μ quantities are cheap dots, no further matvecs needed.
+    rg = jnp.sum(c * xv, axis=-1) - jnp.sum(b * yv, axis=-1) + kap0
+    mu = (jnp.sum(xv * zv, axis=-1) + tau1 * kap0) / (xv.shape[-1] + 1)
     by = jnp.sum(b * yv, axis=-1)
     ind = _indicators(
         rp, rd, rg, mu, tau1, kap0, by, state.rp0, state.rd0, state.rg0, state.mu0
@@ -1574,16 +1581,35 @@ def hsd_solve_scan(
             )
             return {k: v[:N] for k, v in zip(keys, res)}
         phase1_tol = max(opts.tol, opts.switch_tol)
+        sync = os.environ.get("PYCLLP_SCAN_SYNC")  # stage-split timing
+        t0 = time.time() if sync else None
         sflat = _hsd_scan_narrow_core(
             A, b3, c3, _narrow_opts_view(opts, phase1_tol), kset, None,
             int(compact_cap), min(int(compact_bucket), K * chunk),
             bool(warm_chain),
         )
+        if sync:
+            # numpy-side count: a jnp reduction here would be a FRESH
+            # tiny program whose multi-minute remote compile lands in
+            # the timed window (docs/PERFORMANCE.md "Methodology")
+            running = int((np.asarray(sflat.status) == _RUNNING).sum())
+            print(
+                f"[scan] narrow stage: {time.time() - t0:.3f}s "
+                f"(sync incl. status pull; {running} lanes still RUNNING)",
+                file=sys.stderr, flush=True,
+            )
+            t0 = time.time()
         res = _hsd_scan_finish_core(
             A, b3, c3, sflat, _finish_opts_view(opts), kset, tuple(keys),
             int(finish_cap),
             min(int(finish_bucket or compact_bucket), K * chunk),
         )
+        if sync:
+            np.asarray(res[-1])
+            print(
+                f"[scan] finish stage: {time.time() - t0:.3f}s (sync)",
+                file=sys.stderr, flush=True,
+            )
         return {k: v[:N] for k, v in zip(keys, res)}
     res = _hsd_scan_core(A, b3, c3, opts, kset, tuple(keys), bool(warm_chain))
     return {

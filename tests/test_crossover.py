@@ -85,7 +85,7 @@ class TestCrossoverCandidate:
         x = np.array([[0.8, 0.6, 1e-7, 1e-7]])
         z = np.array([[1e-7, 1e-7, 0.2, 0.2]])
         ctx = REFERENCE_KERNELS.prepare(A)
-        xv, yv, zv, ok = crossover_candidate(
+        xv, yv, zv, ok, _, _ = crossover_candidate(
             ctx, b, c, x, z, REFERENCE_KERNELS, refine=2, feas_tol=1e-9
         )
         assert bool(np.asarray(ok)[0])
@@ -107,7 +107,7 @@ class TestCrossoverCandidate:
         x = np.array([[1e-7, 1e-7, 2.0, 3.0]])
         z = np.array([[0.2, 0.2, 1e-7, 1e-7]])
         ctx = REFERENCE_KERNELS.prepare(A)
-        xv, yv, zv, ok = crossover_candidate(
+        xv, yv, zv, ok, _, _ = crossover_candidate(
             ctx, b, c, x, z, REFERENCE_KERNELS, refine=2, feas_tol=1e-9
         )
         # y = 0 for the slack basis → z = c, which has negative entries
@@ -127,11 +127,11 @@ class TestBasisRepair:
         x = np.array([[0.9, 1e-6, 0.4, 1e-7]])
         z = np.array([[1e-7, 1e-5, 1e-7, 0.3]])
         ctx = REFERENCE_KERNELS.prepare(A)
-        _, _, _, ok0 = crossover_candidate(
+        _, _, _, ok0, _, _ = crossover_candidate(
             ctx, b, c, x, z, REFERENCE_KERNELS, refine=2, feas_tol=1e-9, repair=0
         )
         assert not bool(np.asarray(ok0)[0])
-        xv, yv, zv, ok = crossover_candidate(
+        xv, yv, zv, ok, _, _ = crossover_candidate(
             ctx, b, c, x, z, REFERENCE_KERNELS, refine=2, feas_tol=1e-9, repair=2
         )
         assert bool(np.asarray(ok)[0])
@@ -161,7 +161,7 @@ class TestBasisRepair:
         ctx = REFERENCE_KERNELS.prepare(np.asarray(A_s))
         accs = []
         for rep in (0, 3):
-            _, _, _, ok = crossover_candidate(
+            _, _, _, ok, _, _ = crossover_candidate(
                 ctx, np.asarray(b_s), np.asarray(c_s), xs, zs,
                 REFERENCE_KERNELS, refine=2, feas_tol=1e-9, repair=rep,
             )
@@ -186,10 +186,10 @@ class TestBasisRepair:
         z = np.asarray(out["z"])
         ctx_r = REFERENCE_KERNELS.prepare(A)
         ctx_m = mixed.prepare(A)
-        xr, _, _, okr = crossover_candidate(
+        xr, _, _, okr, _, _ = crossover_candidate(
             ctx_r, b, c, x, z, REFERENCE_KERNELS, refine=2, repair=2
         )
-        xm, _, _, okm = crossover_candidate(ctx_m, b, c, x, z, mixed, refine=2, repair=2)
+        xm, _, _, okm, _, _ = crossover_candidate(ctx_m, b, c, x, z, mixed, refine=2, repair=2)
         okr, okm = np.asarray(okr), np.asarray(okm)
         assert okr.mean() > 0.8, okr.mean()
         # mixed must accept (nearly) everything the oracle accepts…
