@@ -382,6 +382,23 @@ OZAKI_BITS = 66  # captured width per operand.  Sizing argument: the
 # the wide phase DIVERGED); 66 bits → 1e-7.
 
 
+OZAKI_MV_BITS = 48  # capture width for the MATVEC (Amv/Armv) paths.
+# The formation feeding the Cholesky needs 66 bits (the solve amplifies
+# its ABSOLUTE error by cond ≈ 1e12 — see the OZAKI_BITS sizing note).
+# The matvec consumers are different: iterative-refinement residuals and
+# the crossover's 1e-9-bound verification, where the absolute error
+# n·2^(−bits)·rowscale·colscale ≈ 1e-12·scale at 48 bits sits 3+ decades
+# under the bound.  Fewer bits = fewer slicing rounds AND fewer group
+# GEMMs — the slicing is ~95% of the measured matvec cost (2026-08-21).
+
+
+def ozaki_mv_params(n: int):
+    """(s, n_slices, cut) for the matvec paths (``OZAKI_MV_BITS`` wide)."""
+    import os
+
+    return ozaki_params(n, int(os.environ.get("PYCLLP_OZAKI_MV_BITS", OZAKI_MV_BITS)))
+
+
 def ozaki_params(n: int, bits: int | None = None):
     """(s, n_slices, cut) for contraction length ``n``.
 
@@ -406,23 +423,34 @@ def ozaki_params(n: int, bits: int | None = None):
 def _df_slice_int(X64, axis, *, s, n_slices):
     """Slice f64 ``X64`` into integer-valued s-bit f32 bands along ``axis``.
 
-    Returns ``(slices, mx)``: per-``axis`` scale ``mx`` (f64) and a list
-    of ``n_slices`` f32 arrays with integer entries in [−2^s, 2^s] such
-    that  X64 ≈ mx · Σ_k slices[k] · 2^(−s·k)  to ~2^(−s·n_slices)
-    relative to ``mx``.
+    Returns ``(slices, mx)``: per-``axis`` scale ``mx`` (f64, an exact
+    power of two) and a list of ``n_slices`` f32 arrays with integer
+    entries in [−2^s, 2^s] such that
+    X64 ≈ mx · Σ_k slices[k] · 2^(−s·k)  to ~2^(−s·n_slices) relative
+    to ``mx``.
 
-    The normalization X/mx happens IN F64, before any f32 cast: the
-    late-IPM scaling d = x/z spans beyond f32 range (measured 5e47 on
-    the CPU oracle), and an f32-first split turns those columns into
-    inf — NaN-ing every lane's wide phase.  ``mx`` is an arbitrary f64
-    scale (not a power of two): integer-exactness of the slices comes
-    from the f32 Veltkamp rounds on the NORMALIZED values, and the
-    final combine multiplies by ``mx`` in f64 (a 2^-48-relative
-    multiply, the same class as the df64 factorization unit).
+    The normalization happens IN F64, before any f32 cast: the late-IPM
+    scaling d = x/z spans beyond f32 range on genuine-f64 backends
+    (measured 5e47 on the CPU oracle), and an f32-first split turns
+    those columns into inf — NaN-ing every lane's wide phase.
+
+    Round-4 cost rewrite: this function IS the Ozaki matvec's cost on
+    the chip (measured 2026-08-21: 4.67 of 4.94 ms per 16K-lane mv —
+    the bf16 group GEMMs are nearly free), and the old per-element
+    emulated-f64 DIVIDE ``X64 / mx`` was its single largest term
+    (software f64 division ≈ 4x an emulated multiply).  The scale is
+    now rounded UP to a power of two, making the normalization an
+    EXACT emulated multiply — which also removes the old combine-side
+    2^-48 scale rounding entirely.  ``|R| ≤ 1`` still holds (mx2 ≥ mx).
     """
     mx = jnp.max(jnp.abs(X64), axis=axis, keepdims=True)
     mx = jnp.maximum(mx, jnp.asarray(jnp.finfo(jnp.float32).tiny, X64.dtype))
-    Rh, Rl = _split_hi_lo(X64 / mx)  # |Rh + Rl| ≤ 1 (+1 ulp)
+    # E = ceil(log2(mx)) on the small reduced array; an off-by-one from
+    # log2 rounding at exact powers of two only halves/doubles the
+    # normalized magnitude — the slice math is scale-invariant.
+    E = jnp.ceil(jnp.log2(mx))
+    mx = jnp.exp2(E)  # exact power of two
+    Rh, Rl = _split_hi_lo(X64 * jnp.exp2(-E))  # exact scaling; |R| ≤ 1
     slices = []
     for k in range(1, n_slices + 1):
         # Quantize via jnp.round, NOT the classic Veltkamp (R+σ)−σ:
@@ -559,10 +587,10 @@ class DoubleSingleKernels(KernelSet):
         # 16K-lane bench chunks the f64 einsums dominated the whole
         # wide stage (measured 2026-08-20: ~1.1 s of a 1.3 s crossover
         # pass).  The same exact-bf16-GEMM scheme used for W@dᵀ applies
-        # to A@xᵀ and Aᵀ@yᵀ directly (absolute error ~2⁻⁶⁶ of
-        # rowscale·colscale — the established formation error class).
-        sm, nm, cm = ozaki_params(n)
-        sr, nr, cr = ozaki_params(m)
+        # to A@xᵀ and Aᵀ@yᵀ directly, at the narrower matvec width
+        # (``OZAKI_MV_BITS`` — see its sizing note).
+        sm, nm, cm = ozaki_mv_params(n)
+        sr, nr, cr = ozaki_mv_params(m)
         Amv = _ozaki_prepare(A, s=sm, n_slices=nm, cut=cm)
         Armv = _ozaki_prepare(A.T, s=sr, n_slices=nr, cut=cr)
         return PreparedDF(
@@ -573,7 +601,7 @@ class DoubleSingleKernels(KernelSet):
         if getattr(ctx, "Amv", None) is None or x.ndim != 2:
             return jnp.einsum("...mn,...n->...m", ctx.A, x)
         n = ctx.A.shape[-1]
-        s, n_slices, cut = ozaki_params(n)
+        s, n_slices, cut = ozaki_mv_params(n)
         return _ozaki_matmul(
             ctx.Amv[0], ctx.Amv[1], x.T, s=s, n_slices=n_slices, cut=cut
         ).T
@@ -582,7 +610,7 @@ class DoubleSingleKernels(KernelSet):
         if getattr(ctx, "Armv", None) is None or y.ndim != 2:
             return jnp.einsum("...mn,...m->...n", ctx.A, y)
         m = ctx.A.shape[-2]
-        s, n_slices, cut = ozaki_params(m)
+        s, n_slices, cut = ozaki_mv_params(m)
         return _ozaki_matmul(
             ctx.Armv[0], ctx.Armv[1], y.T, s=s, n_slices=n_slices, cut=cut
         ).T

@@ -92,11 +92,11 @@ class MixedPrecisionKernels(KernelSet):
         A = jnp.asarray(A)
         Amv = Armv = None
         if A.ndim == 2 and A.dtype == jnp.float64:
-            from pycllp_tpu.ops.df64 import _ozaki_prepare, ozaki_params
+            from pycllp_tpu.ops.df64 import _ozaki_prepare, ozaki_mv_params
 
             m, n = A.shape
-            sm, nm, cm = ozaki_params(n)
-            sr, nr, cr = ozaki_params(m)
+            sm, nm, cm = ozaki_mv_params(n)
+            sr, nr, cr = ozaki_mv_params(m)
             Amv = _ozaki_prepare(A, s=sm, n_slices=nm, cut=cm)
             Armv = _ozaki_prepare(A.T, s=sr, n_slices=nr, cut=cr)
         return PreparedMixed(
@@ -107,9 +107,9 @@ class MixedPrecisionKernels(KernelSet):
     def mv(self, ctx, x):
         if getattr(ctx, "Amv", None) is None or x.ndim != 2:
             return jnp.einsum("...mn,...n->...m", ctx.A, x)
-        from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_params
+        from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_mv_params
 
-        s, n_slices, cut = ozaki_params(ctx.A.shape[-1])
+        s, n_slices, cut = ozaki_mv_params(ctx.A.shape[-1])
         return _ozaki_matmul(
             ctx.Amv[0], ctx.Amv[1], x.T, s=s, n_slices=n_slices, cut=cut
         ).T
@@ -117,9 +117,9 @@ class MixedPrecisionKernels(KernelSet):
     def rmv(self, ctx, y):
         if getattr(ctx, "Armv", None) is None or y.ndim != 2:
             return jnp.einsum("...mn,...m->...n", ctx.A, y)
-        from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_params
+        from pycllp_tpu.ops.df64 import _ozaki_matmul, ozaki_mv_params
 
-        s, n_slices, cut = ozaki_params(ctx.A.shape[-2])
+        s, n_slices, cut = ozaki_mv_params(ctx.A.shape[-2])
         return _ozaki_matmul(
             ctx.Armv[0], ctx.Armv[1], y.T, s=s, n_slices=n_slices, cut=cut
         ).T

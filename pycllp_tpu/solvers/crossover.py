@@ -49,12 +49,20 @@ def _top_m_indicator(score, m: int):
     80.6 ms per 16K-lane application on v5e vs 4.5 ms for this
     (experiments/exp_crossover_cost.py, 2026-08-20); at 3 attempts ×
     4 chunks the scatter was ~1 s of the crossover stage.
+
+    The sort runs on an F32 VIEW of the scores: only the ORDERING
+    matters for basis selection, a bitonic sort on emulated-f64 pairs
+    costs ~2x the f32 one, and entries that collide at f32 resolution
+    are exactly the degenerate near-ties whose selection was arbitrary
+    in f64 too (and which the repair rounds own either way).  The
+    cumsum tie-break makes the m-count exact under collisions.
     """
     n = score.shape[-1]
-    cut = jnp.sort(score, axis=-1)[..., n - m][..., None]
-    gt = score > cut
+    s32 = score.astype(jnp.float32) if score.dtype == jnp.float64 else score
+    cut = jnp.sort(s32, axis=-1)[..., n - m][..., None]
+    gt = s32 > cut
     need = m - jnp.sum(gt, axis=-1, keepdims=True)
-    eq = score == cut
+    eq = s32 == cut
     take = eq & (jnp.cumsum(eq, axis=-1) <= need)
     return (gt | take).astype(score.dtype)
 
