@@ -84,7 +84,13 @@ FINISH_MAXITER = int(os.environ.get("BENCH_FINISH_MAXITER", 20))
 # finish iteration limit; crossover 58K LP/s with rejects limited by the
 # fallback bucket — sized below to cover the measured reject rate.
 FINISH_MODE = os.environ.get("BENCH_FINISH_MODE", "crossover")
-FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 8192)) or None
+# stage-4 drain bucket: with kkt=2 + full-width repair the measured
+# post-stage-3 reject volume is a few hundred lanes, and the drain
+# rounds (round-4 redesign) make a small bucket overflow-PROOF — a
+# reject volume beyond one bucket just takes more skipped-when-empty
+# rounds.  df64 tier cost scales with the bucket width (measured: df64
+# factor 52 ms / 16K lanes), so small is fast.
+FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 1024)) or None
 # crossover engine knobs: basis solves on the mixed set (f32 Pallas
 # factor + f64 refinement; ~10x cheaper than df64 at full width) with
 # batched basis-repair rounds replacing the df64 wide-IPM sharpen round
