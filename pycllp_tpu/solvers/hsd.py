@@ -790,9 +790,13 @@ def _package(ctx, b_s, c_s, state: HSDState, kset: KernelSet, opts: SolverOption
     x, y, z, tau, kappa, status, ind = _finalize(ctx, b_s, c_s, state, kset, opts.tol)
     out_dtype = x.dtype
     tau_safe = jnp.maximum(tau, jnp.asarray(jnp.finfo(out_dtype).tiny, out_dtype))
-    x_hat = x / tau_safe[..., None]
-    y_hat = y / tau_safe[..., None]
-    z_hat = z / tau_safe[..., None]
+    # reciprocal-multiply, not per-element divide: an emulated-f64
+    # division is ~4x an emulated multiply on TPU, and this touches
+    # three (B, n)-sized arrays at full batch width
+    inv_tau = (1.0 / tau_safe)[..., None]
+    x_hat = x * inv_tau
+    y_hat = y * inv_tau
+    z_hat = z * inv_tau
     if scaling is not None:
         sc = type(scaling)(*[v.astype(out_dtype) for v in scaling])
         x_hat, y_hat, z_hat = unscale_solution(x_hat, y_hat, z_hat, sc)
@@ -809,6 +813,73 @@ def _package(ctx, b_s, c_s, state: HSDState, kset: KernelSet, opts: SolverOption
         "rho_p": ind.rho_p,
         "rho_d": ind.rho_d,
         "rho_gap": ind.rho_g,
+    }
+
+
+def _package_bucketed(
+    ctx, b_s, c_s, state: HSDState, kset: KernelSet, opts: SolverOptions,
+    scaling, c_orig, bucket: int
+):
+    """:func:`_package` with the finalize/classify pass confined to a
+    gathered bucket of the NON-TERMINAL lanes.
+
+    After the crossover finish ~99% of lanes are already OPTIMAL with
+    their exact vertex as the iterate; the full-width ``_finalize``
+    would still pay two wide residual passes (4 Ozaki matvecs) plus
+    norms over every lane just to re-derive what is already known.
+    Here terminal lanes (OPTIMAL / INFEASIBLE / UNBOUNDED) pass through
+    untouched and only the gathered remainder runs ``_finalize``
+    (best-iterate fold + last-chance classification).  Non-terminal
+    lanes beyond ``bucket`` keep their iterate; still-RUNNING ones are
+    flagged ITERATION_LIMIT — attributable to capacity, as in the drain
+    tiers.  The ρ diagnostics are not computed — callers requesting
+    ``rho_*`` keys route through the full :func:`_package`.
+    """
+    terminal = (
+        (state.status == jnp.int32(int(Status.OPTIMAL)))
+        | (state.status == jnp.int32(int(Status.INFEASIBLE)))
+        | (state.status == jnp.int32(int(Status.UNBOUNDED)))
+    )
+    nt = ~terminal
+    idx = jnp.argsort(~nt)[:bucket]
+    take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
+    sub = HSDState(*[take(v) for v in state])
+    x2, y2, z2, tau2, kappa2, status2, _ = _finalize(
+        ctx, b_s[idx], c_s[idx], sub, kset, opts.tol
+    )
+    resumed = nt[idx]
+
+    def put(full, vals):
+        mask = resumed.reshape(resumed.shape + (1,) * (vals.ndim - 1))
+        return full.at[idx].set(jnp.where(mask, vals, full[idx]))
+
+    x = put(state.x, x2)
+    y = put(state.y, y2)
+    z = put(state.z, z2)
+    tau = put(state.tau, tau2)
+    kappa = put(state.kappa, kappa2)
+    status = put(state.status, status2)
+    status = jnp.where(status == _RUNNING, jnp.int32(int(Status.ITERATION_LIMIT)), status)
+
+    out_dtype = x.dtype
+    tau_safe = jnp.maximum(tau, jnp.asarray(jnp.finfo(out_dtype).tiny, out_dtype))
+    inv_tau = (1.0 / tau_safe)[..., None]
+    x_hat = x * inv_tau
+    y_hat = y * inv_tau
+    z_hat = z * inv_tau
+    if scaling is not None:
+        sc = type(scaling)(*[v.astype(out_dtype) for v in scaling])
+        x_hat, y_hat, z_hat = unscale_solution(x_hat, y_hat, z_hat, sc)
+    objective = jnp.sum(c_orig.astype(out_dtype) * x_hat, axis=-1)
+    return {
+        "x": x_hat,
+        "y": y_hat,
+        "z": z_hat,
+        "tau": tau,
+        "kappa": kappa,
+        "objective": objective,
+        "status": status,
+        "iterations": state.iterations,
     }
 
 
@@ -1305,25 +1376,28 @@ def _hsd_scan_finish_core(
         )
 
         if opts.finish_mode == "crossover":
-            # ONE basis solve per lane (+ crossover_repair re-solves for
-            # sign-violated bases, solvers/crossover.py): accepted lanes
-            # are OPTIMAL outright; rejects re-open RUNNING and fall
-            # through to the stage-4 tail.  Straight-line code — no wide
-            # while_loop over ALL lanes — and with the default
-            # crossover_kset="mixed1" the factors run in the f32 Pallas
-            # kernels (f64 residual refinement + f64 verification), so
-            # the full-width stage costs ~a couple of narrow iterations
-            # instead of a df64 factorization per lane.
+            # ONE basis solve per lane: accepted lanes are OPTIMAL
+            # outright; rejects re-open RUNNING and fall through to the
+            # drain tiers.  Straight-line code — no wide while_loop over
+            # ALL lanes — and with the default crossover_kset="mixed1"
+            # the factors run in the f32 Pallas kernels (f64 residual
+            # refinement + f64 verification), so the full-width stage
+            # costs ~a couple of narrow iterations.  REPAIR here is 0:
+            # full-width repair pays ~2 more candidate passes over every
+            # lane for the ~11% that reject — tier 0 below applies
+            # ``opts.crossover_repair`` on the GATHERED rejects instead
+            # (same math, 1/8 the width; measured round 4).
             per_lane = {
                 f_: v.reshape(K, chunk, *v.shape[1:])
                 for f_, v in sflat._asdict().items()
                 if f_ != "k"
             }
+            s3_opts = opts.replace(crossover_repair=0)
 
             def g(_, xs):
                 st_fields, b_s, c_s = xs
                 st = HSDState(k=jnp.int32(0), **st_fields)
-                st = _crossover_state(cctx, b_s, c_s, st, ckset, opts, opts.tol)
+                st = _crossover_state(cctx, b_s, c_s, st, ckset, s3_opts, opts.tol)
                 return None, {f_: v for f_, v in st._asdict().items() if f_ != "k"}
 
             base_k = 0
@@ -1427,6 +1501,19 @@ def _hsd_scan_finish_core(
                 )
                 return s
 
+            # tier 0: basis-repair rounds on the gathered rejects, mixed
+            # engine — the measured reject anatomy is a basis off by 1-2
+            # indices, fixed by sign-guided re-selection with NO wide
+            # IPM; at 8x the df64-tier bucket this swallows the typical
+            # post-stage-3 reject volume (~11% first-try rejects at
+            # kkt_refine=2) in one round of cheap f32-factor solves.
+            def tier0(b2, c2, st2):
+                return _crossover_state(cctx, b2, c2, st2, ckset, opts, opts.tol)
+
+            if opts.crossover_repair:  # without repair a re-cross of the
+                # unchanged state would re-fail identically — skip the tier
+                sflat = drain(sflat, min(8 * finish_bucket, N), rounds, tier0)
+
             # tier 1: wide, shallow — df64 cross, short IPM, df64 cross
             def tier1(b2, c2, st2):
                 st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
@@ -1504,7 +1591,15 @@ def _hsd_scan_finish_core(
                 lambda s: s,
                 sflat,
             )
-        outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
+        if any(k in ("rho_p", "rho_d", "rho_gap") for k in keys):
+            outs = _package(fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w)
+        else:
+            # ρ diagnostics not requested → finalize/classify only the
+            # gathered non-terminal remainder (see _package_bucketed)
+            outs = _package_bucketed(
+                fctx, b_sfw, c_sfw, sflat, fkset, opts, scaling, c_flat_w,
+                finish_bucket,
+            )
         return tuple(outs[k] for k in keys)
 
 

@@ -157,10 +157,12 @@ class SolverOptions:
     #            conservative choice, ~10x the factor cost.
     crossover_repair: int = 2  # batched basis-repair rounds on rejected
     # lanes: flip sign-violated indices (basic xv<0 out, nonbasic zv<0
-    # in), re-solve, re-verify — full-width, no gather, each round one
-    # cheap mixed factor+solve.  Replaces the df64 wide-IPM sharpen
-    # round on the scan path (measured anatomy: rejects are off by 1-2
-    # basis indices).
+    # in), re-solve, re-verify — each round one cheap mixed factor+solve
+    # (measured anatomy: rejects are off by 1-2 basis indices).  On the
+    # registry batched path the rounds run at full width inside the
+    # crossover; on the scan path they run in the GATHERED tier-0 drain
+    # (round 4: full-width repair paid ~2 extra candidate passes over
+    # every lane for the ~11% that reject).
     finish_kkt_refine: int | None = None  # kkt_refine for the WIDE phases;
     # None inherits ``kkt_refine`` (a config that sets kkt_refine keeps
     # its KKT safety net in the finish too).  The bench sets this to 0
