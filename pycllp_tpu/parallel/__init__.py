@@ -4,6 +4,7 @@ from pycllp_tpu.parallel.shard import (
     CollectiveAny,
     scenario_mesh,
     sharded_hsd_solve,
+    sharded_hsd_solve_scan,
 )
 from pycllp_tpu.parallel.schur import column_sharded_hsd_solve, model_mesh
 from pycllp_tpu.parallel.distributed import (
@@ -23,4 +24,5 @@ __all__ = [
     "model_mesh",
     "scenario_mesh",
     "sharded_hsd_solve",
+    "sharded_hsd_solve_scan",
 ]

@@ -30,7 +30,12 @@ from pycllp_tpu.ops.reference import KernelSet, REFERENCE_KERNELS
 from pycllp_tpu.solvers.hsd import hsd_solve_batched
 from pycllp_tpu.solvers.options import SolverOptions
 
-__all__ = ["scenario_mesh", "CollectiveAny", "sharded_hsd_solve"]
+__all__ = [
+    "scenario_mesh",
+    "CollectiveAny",
+    "sharded_hsd_solve",
+    "sharded_hsd_solve_scan",
+]
 
 
 def scenario_mesh(n_devices: int | None = None, axis: str = "scenario") -> Mesh:
@@ -96,3 +101,96 @@ def sharded_hsd_solve(
         return hsd_solve_batched(A_l, b_l, c_l, opts, kset, reduce_any)
 
     return local_solve(A, b, c)
+
+
+def sharded_hsd_solve_scan(
+    A,
+    b,
+    c,
+    opts: SolverOptions = SolverOptions(),
+    mesh: Mesh | None = None,
+    kset: KernelSet = REFERENCE_KERNELS,
+    *,
+    chunk: int = 16384,
+    keys: tuple = ("objective", "status", "iterations"),
+    compact_cap: int | None = None,
+    compact_bucket: int = 8192,
+    finish_cap: int = 6,
+    finish_bucket: int | None = None,
+    warm_chain: bool = False,
+):
+    """Scenario-sharded twin of :func:`pycllp_tpu.solvers.hsd.hsd_solve_scan`.
+
+    Each shard runs the FULL fused sweep — capped chunk scan, on-device
+    compaction/warm-resume, and (with ``opts.finish_dtype``) the wide
+    crossover/drain finish — on its local slice of the scenario stream:
+    the compaction story of the single-chip scan path, scaled over the
+    mesh.  Termination is shard-LOCAL by design: compaction repacks
+    lanes within a shard, so cross-shard lockstep (the ``collective``
+    gate of :func:`sharded_hsd_solve`) has nothing to synchronise — each
+    shard simply finishes its own slice (the best-throughput mode for
+    independent scenarios; SURVEY.md §2.3).
+
+    ``b``/``c`` are (N, m)/(N, n) with shared 2-D ``A`` (replicated).
+    N is padded up to a ``chunk × mesh-size`` multiple (repeating the
+    last row) and trimmed on return; buckets apply PER SHARD.
+    """
+    from pycllp_tpu.solvers.hsd import (
+        _finish_opts_view,
+        _hsd_scan_finish_core,
+        _hsd_scan_narrow_core,
+        _narrow_opts_view,
+    )
+
+    if getattr(A, "ndim", 2) != 2:
+        raise ValueError("sharded_hsd_solve_scan requires shared 2-D A")
+    if mesh is None:
+        mesh = scenario_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    N = b.shape[0]
+    chunk = max(1, min(chunk, -(-N // n_dev)))
+    quantum = chunk * n_dev
+    pad = (-N) % quantum
+    if pad:
+        b = jnp.concatenate([b, jnp.broadcast_to(b[-1:], (pad, b.shape[1]))], 0)
+        c = jnp.concatenate([c, jnp.broadcast_to(c[-1:], (pad, c.shape[1]))], 0)
+    K = b.shape[0] // chunk  # divisible by n_dev by construction
+    b3 = b.reshape(K, chunk, -1)
+    c3 = c.reshape(K, chunk, -1)
+    local_n = (K // n_dev) * chunk
+    cap = int(compact_cap) if compact_cap is not None else 12
+    bucket = min(int(compact_bucket), local_n)
+    fbucket = min(int(finish_bucket or compact_bucket), local_n)
+
+    dtype = jnp.dtype(opts.dtype) if opts.dtype else jnp.result_type(A, b, c)
+    finish = opts.finish_dtype is not None and jnp.dtype(opts.finish_dtype) != dtype
+    phase1_tol = max(opts.tol, opts.switch_tol)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def run(A_r, b3_l, c3_l):
+        if not finish:
+            return _hsd_scan_narrow_core(
+                A_r, b3_l, c3_l, opts, kset, tuple(keys), cap, bucket,
+                bool(warm_chain),
+            )
+        sflat = _hsd_scan_narrow_core(
+            A_r, b3_l, c3_l, _narrow_opts_view(opts, phase1_tol), kset, None,
+            cap, bucket, bool(warm_chain),
+        )
+        return _hsd_scan_finish_core(
+            A_r, b3_l, c3_l, sflat, _finish_opts_view(opts), kset, tuple(keys),
+            int(finish_cap), fbucket,
+            rounds=max(4, -(-local_n // fbucket)),
+        )
+
+    res = run(A, b3, c3)
+    return {k: v[:N] for k, v in zip(keys, res)}

@@ -87,6 +87,72 @@ class TestShardedSolve:
         assert np.all(st[mask] == int(Status.OPTIMAL))
 
 
+class TestShardedScan:
+    """sharded_hsd_solve_scan: the compaction sweep over a mesh (round 4
+    — the sharded path previously had no cap/compact/finish story)."""
+
+    def test_matches_unsharded_scan(self, mesh8):
+        from pycllp_tpu.io.generate import random_standard_lp
+        from pycllp_tpu.parallel import sharded_hsd_solve_scan
+        from pycllp_tpu.solvers.hsd import hsd_solve_scan
+
+        lp = random_standard_lp(12, 18, nlp=64, seed=21, dtype=np.float64)
+        eq = lp.to_equality_form()
+        A = np.asarray(eq.A)
+        b = np.asarray(eq.b)
+        c = np.asarray(eq.c)
+        opts = SolverOptions(tol=1e-8, maxiter=40, dtype="float64")
+        # buckets sized to cover every still-running lane on both paths:
+        # an OVERFLOWING bucket legitimately diverges (the unsharded
+        # gather spans all lanes, the sharded one only its shard)
+        ref = hsd_solve_scan(A, b, c, opts, chunk=8, compact_cap=6, compact_bucket=64)
+        out = sharded_hsd_solve_scan(
+            A, b, c, opts, mesh=mesh8, chunk=8, compact_cap=6, compact_bucket=64,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["status"]), np.asarray(ref["status"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["objective"]), np.asarray(ref["objective"]),
+            rtol=1e-9, atol=1e-10,
+        )
+
+    def test_finish_crossover_meets_contract(self, mesh8):
+        from scipy.optimize import linprog
+
+        from pycllp_tpu.io.generate import random_standard_lp
+        from pycllp_tpu.parallel import sharded_hsd_solve_scan
+
+        lp = random_standard_lp(16, 24, nlp=64, seed=22, dtype=np.float32)
+        eq = lp.to_equality_form()
+        out = sharded_hsd_solve_scan(
+            np.asarray(eq.A, np.float32),
+            np.asarray(eq.b, np.float32),
+            np.asarray(eq.c, np.float32),
+            SolverOptions(
+                tol=2e-7, maxiter=40, dtype="float32", stall_patience=3,
+                stall_rtol=0.05, refine_steps=0, init_point="mehrotra",
+                finish_dtype="float64", switch_tol=1e-5,
+                finish_mode="crossover",
+            ),
+            mesh=mesh8, chunk=8, compact_cap=8, compact_bucket=8,
+            finish_cap=3, finish_bucket=8,
+        )
+        st = np.asarray(out["status"])
+        assert np.all(st == int(Status.OPTIMAL)), np.unique(st, return_counts=True)
+        rels = []
+        for i in range(0, 64, 8):
+            res = linprog(
+                -np.asarray(lp.c)[i], A_ub=np.asarray(lp.A),
+                b_ub=np.asarray(lp.b)[i], bounds=[(0, None)] * 24,
+                method="highs",
+            )
+            rels.append(
+                abs(-float(out["objective"][i]) + res.fun) / max(1, abs(res.fun))
+            )
+        assert max(rels) <= 1e-6, max(rels)
+
+
 class TestDistributedHelpers:
     def test_single_process_noop(self):
         from pycllp_tpu.parallel import initialize, is_distributed
