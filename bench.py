@@ -389,8 +389,14 @@ def run_sweep():
     A = jax.device_put(np.asarray(eq.A, np.float32))
     b = jax.device_put(np.asarray(eq.b, np.float32))
     c = jax.device_put(np.asarray(eq.c, np.float32))
+    # window/bucket sized to REUSE the headline config's compiled
+    # programs verbatim (same (K, chunk) shapes and static opts): a
+    # window of 4 chunks at the headline bucket makes the sweep pay
+    # ZERO new compiles after a throughput run (the r3 sweep config
+    # "timed out compiling" — VERDICT r3 item 3/5)
     kw = dict(chunk=CHUNK, kset=get_kset(), compact_cap=CAP or None,
-              compact_bucket=2 * BUCKET)  # 2 windows' remnants share a bucket
+              compact_bucket=BUCKET, window_chunks=4,
+              finish_cap=FINISH_CAP, finish_bucket=FINISH_BUCKET)
     res = scenario_sweep(A, b, c, bench_options(), **kw)  # warm incl compile
     t0 = time.time()
     res = scenario_sweep(A, b, c, bench_options(), **kw)

@@ -1375,6 +1375,19 @@ def _hsd_scan_finish_core(
             gondzio_correctors=opts.finish_gondzio,
         )
 
+        # PYCLLP_FINISH_TRUNCATE=<stage>: return after the named stage
+        # (diagnostic builds only — splits the finish program's cost
+        # empirically, since no sync point can exist inside one jit)
+        _trunc = os.environ.get("PYCLLP_FINISH_TRUNCATE", "")
+
+        def _truncated(s):
+            return _package_bucketed(
+                fctx, b_sfw, c_sfw, s, fkset, opts, scaling, c_flat_w, finish_bucket
+            )
+
+        if _trunc == "pre":
+            return tuple(_truncated(sflat)[k] for k in keys)
+
         if opts.finish_mode == "crossover":
             # ONE basis solve per lane: accepted lanes are OPTIMAL
             # outright; rejects re-open RUNNING and fall through to the
@@ -1431,6 +1444,8 @@ def _hsd_scan_finish_core(
             k=jnp.int32(base_k),
             **{f_: v.reshape(N, *v.shape[2:]) for f_, v in fdict.items()},
         )
+        if _trunc == "stage3":
+            return tuple(_truncated(sflat)[k] for k in keys)
 
         if opts.finish_mode == "crossover":
             # ---- stage 4 (crossover): bounded draining rounds. ----
@@ -1513,6 +1528,8 @@ def _hsd_scan_finish_core(
             if opts.crossover_repair:  # without repair a re-cross of the
                 # unchanged state would re-fail identically — skip the tier
                 sflat = drain(sflat, min(8 * finish_bucket, N), rounds, tier0)
+            if _trunc == "tier0":
+                return tuple(_truncated(sflat)[k] for k in keys)
 
             # tier 1: wide, shallow — df64 cross, short IPM, df64 cross
             def tier1(b2, c2, st2):
@@ -1526,6 +1543,8 @@ def _hsd_scan_finish_core(
                 return _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
 
             sflat = drain(sflat, finish_bucket, rounds, tier1)
+            if _trunc == "tier1":
+                return tuple(_truncated(sflat)[k] for k in keys)
 
             # tier 2: narrow, deep — IPM to budget, restart, rescue.
             # reopen=False in the rescue keeps rejects STALLED, so the

@@ -57,6 +57,8 @@ def scenario_sweep(
     window_chunks: int = 8,
     compact_cap: int | None = None,
     compact_bucket: int = 8192,
+    finish_cap: int = 6,
+    finish_bucket: int | None = None,
     warm_chain: bool = False,
 ) -> SweepResult:
     """Solve N scenarios (shared A, batched b/c) in chunks.
@@ -159,6 +161,7 @@ def scenario_sweep(
                 out = hsd_solve_scan(
                     A, bb, cb, opts, kset, chunk=chunk, keys=keys,
                     compact_cap=compact_cap, compact_bucket=compact_bucket,
+                    finish_cap=finish_cap, finish_bucket=finish_bucket,
                     warm_chain=warm_chain,
                 )
             else:
