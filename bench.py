@@ -96,7 +96,12 @@ FINISH_BUCKET = int(os.environ.get("BENCH_FINISH_BUCKET", 1024)) or None
 # batched basis-repair rounds replacing the df64 wide-IPM sharpen round
 CROSSOVER_KSET = os.environ.get("BENCH_CROSSOVER_KSET", "mixed1")
 REPAIR = int(os.environ.get("BENCH_REPAIR", 2))
-CROSSOVER_REFINE = int(os.environ.get("BENCH_CROSSOVER_REFINE", 1))
+CROSSOVER_REFINE = int(os.environ.get("BENCH_CROSSOVER_REFINE", 2))
+# refine=2, not 1: the basis-solve IR is the verification limiter —
+# measured acceptance through the repair tier 50.9K (refine 1) → 59.2K
+# (refine 2) → 60.3K (refine 4) of 65,536; the curve flattens past 2
+# (the remainder is the high-cond(B)^2 tail whose mixed-IR diverges,
+# owned by the feas-floored df64 tiers).
 CROSSOVER_FEAS = float(
     os.environ.get("BENCH_CROSSOVER_FEAS", os.environ.get("BENCH_FEAS", 1e-9))
 )
@@ -118,7 +123,7 @@ def bench_options() -> SolverOptions:
     fin = (
         dict(
             finish_dtype="float64",
-            switch_tol=1e-5,
+            switch_tol=float(os.environ.get("BENCH_SWITCH_TOL", 1e-5)),
             finish_maxiter=FINISH_MAXITER,
             finish_gondzio=FINISH_GONDZIO,
             finish_mode=FINISH_MODE,

@@ -1531,16 +1531,53 @@ def _hsd_scan_finish_core(
             if _trunc == "tier0":
                 return tuple(_truncated(sflat)[k] for k in keys)
 
+            # tier 0b: KKT-sharpened re-identification on the MIXED
+            # engine.  The measured reject anatomy after repair (round
+            # 4: 6.4K of 65,536 lanes) is genuinely wrong bases from the
+            # f32-floor point — and the round-3 acceptance study found
+            # KKT-refined directions are what separates the x/z ratios
+            # (70% → 89% first-try).  Three mixed-engine IPM steps with
+            # kkt_refine=2 cost f32-factor prices (the mixed set cannot
+            # POLISH to 1e-6 — documented negative result — but these
+            # steps only need to sharpen the basis ordering), then a
+            # mixed re-cross with repair.  Only what still rejects
+            # reaches the ~6x-costlier df64 tiers below.
+            def tier0b(b2, c2, st2):
+                st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
+                st2 = _run_phase(
+                    cctx, b2, c2, st2, wopts.replace(kkt_refine=2), ckset,
+                    wide, opts.tol, st2.k + 3, jnp.any,
+                )
+                st2 = _fold_to_best(cctx, b2, c2, st2, ckset)
+                return _crossover_state(cctx, b2, c2, st2, ckset, opts, opts.tol)
+
+            sflat = drain(sflat, min(8 * finish_bucket, N), rounds, tier0b)
+            if _trunc == "tier0b":
+                return tuple(_truncated(sflat)[k] for k in keys)
+
+            # The df64 tiers verify at a FLOORED feasibility tolerance:
+            # a correct basis solved in df64 carries residual
+            # ~2^-49·κ(B)² ≈ 1e-8-class for the ill-conditioned lanes
+            # that reach these tiers (exactly the ones whose mixed-IR
+            # verification diverges), and holding them to 1e-9 sends
+            # them through IPM rounds they don't need.  An accepted
+            # 1e-8-residual vertex perturbs the audited objective by
+            # ~|y·rp| ≈ 3e-7 — still 3x under the 1e-6 contract — and
+            # the ρ ≤ tol test still applies on top.
+            topts = opts.replace(
+                crossover_feas_tol=max(opts.crossover_feas_tol, 1e-8)
+            )
+
             # tier 1: wide, shallow — df64 cross, short IPM, df64 cross
             def tier1(b2, c2, st2):
-                st2 = _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+                st2 = _crossover_state(fctx, b2, c2, st2, fkset, topts, opts.tol)
                 st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
                 st2 = _run_phase(
                     fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
                     st2.k + finish_cap, jnp.any,
                 )
                 st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
-                return _crossover_state(fctx, b2, c2, st2, fkset, opts, opts.tol)
+                return _crossover_state(fctx, b2, c2, st2, fkset, topts, opts.tol)
 
             sflat = drain(sflat, finish_bucket, rounds, tier1)
             if _trunc == "tier1":
@@ -1572,7 +1609,7 @@ def _hsd_scan_finish_core(
                     )
                 st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
                 return _crossover_state(
-                    fctx, b2, c2, st2, fkset, opts, opts.tol, reopen=False
+                    fctx, b2, c2, st2, fkset, topts, opts.tol, reopen=False
                 )
 
             sflat = drain(sflat, max(256, finish_bucket // 8), rounds, tier2)
