@@ -1531,29 +1531,13 @@ def _hsd_scan_finish_core(
             if _trunc == "tier0":
                 return tuple(_truncated(sflat)[k] for k in keys)
 
-            # tier 0b: KKT-sharpened re-identification on the MIXED
-            # engine.  The measured reject anatomy after repair (round
-            # 4: 6.4K of 65,536 lanes) is genuinely wrong bases from the
-            # f32-floor point — and the round-3 acceptance study found
-            # KKT-refined directions are what separates the x/z ratios
-            # (70% → 89% first-try).  Three mixed-engine IPM steps with
-            # kkt_refine=2 cost f32-factor prices (the mixed set cannot
-            # POLISH to 1e-6 — documented negative result — but these
-            # steps only need to sharpen the basis ordering), then a
-            # mixed re-cross with repair.  Only what still rejects
-            # reaches the ~6x-costlier df64 tiers below.
-            def tier0b(b2, c2, st2):
-                st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
-                st2 = _run_phase(
-                    cctx, b2, c2, st2, wopts.replace(kkt_refine=2), ckset,
-                    wide, opts.tol, st2.k + 3, jnp.any,
-                )
-                st2 = _fold_to_best(cctx, b2, c2, st2, ckset)
-                return _crossover_state(cctx, b2, c2, st2, ckset, opts, opts.tol)
-
-            sflat = drain(sflat, min(8 * finish_bucket, N), rounds, tier0b)
-            if _trunc == "tier0b":
-                return tuple(_truncated(sflat)[k] for k in keys)
+            # (A "tier 0b" — 3 KKT-refined MIXED-engine IPM steps +
+            # re-cross on the gathered rejects — was measured 2026-08-21
+            # and REMOVED: it flipped only ~900 of the 5.4K hard rejects
+            # (the tail is high-cond(B)² / genuinely-wrong-basis work
+            # that needs df64 directions), while its extra traced
+            # mixed-IPM instance pushed the finish program past the
+            # remote compile service's budget.)
 
             # The df64 tiers verify at a FLOORED feasibility tolerance:
             # a correct basis solved in df64 carries residual
