@@ -138,12 +138,13 @@ def bench_options() -> SolverOptions:
         if FINISH
         else {}
     )
-    # tol 2e-7, not 1e-6: the contract's audit normalizes by max(1,|f|),
-    # while rho_A normalizes by τ+|bᵀy| — solving ~4x past 1e-6 keeps the
-    # audited objective error under 1e-6 (measured: tol 1e-6 → audit max
-    # 5.1e-6; tol 2e-7 → 1.9e-7 on the 32²×256 workload)
+    # tol 1e-6 — the contract tolerance, directly: rho_A now normalizes
+    # by max(τ, |bᵀy|), i.e. the de-embedded |gap| over max(1, |obj|) —
+    # the SAME quantity the audit checks — so the round-3/4 workaround of
+    # solving 5x past contract (tol 2e-7) to absorb an indicator/audit
+    # normalization mismatch is gone (VERDICT r4 item 8).
     return SolverOptions(
-        tol=TOL or (2e-7 if FINISH else 1e-5),
+        tol=TOL or (1e-6 if FINISH else 1e-5),
         maxiter=40,
         dtype="float32",
         stall_patience=int(os.environ.get("BENCH_PATIENCE", 3)),

@@ -69,6 +69,9 @@ class MixedFactor(typing.NamedTuple):
     fac_lo: typing.Any  # base kernel set's f32 factorization
     d: typing.Any  # (…, n) wide scaling at factorization
     reg: typing.Any  # (…,) wide diagonal shift δ (same relative ε as f32)
+    s: typing.Any = None  # (…, m) wide Jacobi row scale of the f32 factor
+    # (None = unscaled): the factor holds chol(S·M·S + δI) and the
+    # preconditioner application is P⁻¹r = S·(LLᵀ)⁻¹·(S·r)
 
 
 class MixedPrecisionKernels(KernelSet):
@@ -76,7 +79,13 @@ class MixedPrecisionKernels(KernelSet):
 
     name = "mixed_finish"
 
-    def __init__(self, base: KernelSet, ir_steps: int = 3, lo_reg_floor: float = 2e-6):
+    def __init__(
+        self,
+        base: KernelSet,
+        ir_steps: int = 3,
+        lo_reg_floor: float = 2e-6,
+        jacobi: bool = True,
+    ):
         self.base = base
         self.ir_steps = ir_steps
         # The f32 factor needs enough diagonal shift to stay PSD under
@@ -85,7 +94,22 @@ class MixedPrecisionKernels(KernelSet):
         # preconditioner, the residual operator (wide δ) defines the
         # system, and the contraction ‖I−P⁻¹M̂‖ ≈ δ_lo/(λ_min+δ_lo) < 1.
         self.lo_reg_floor = lo_reg_floor
-        self.name = f"mixed_finish({base.name}, ir={ir_steps})"
+        # Jacobi (symmetric diagonal) equilibration of the f32 factor:
+        # factor S·M·S + δI with S = diag(M)^(-1/2) instead of M + δ·
+        # max(diag)·I.  Two effects on the IR contraction: (a) van der
+        # Sluis — κ(SMS) is within a factor m of the best diagonally
+        # scaled κ, so scaling-induced conditioning (unbalanced basis
+        # row norms: diag(M)ᵢ = ‖Bᵢ,·‖²) disappears from the ε_f32·κ
+        # term; (b) the PSD-safety shift δ becomes RELATIVE per row
+        # (S⁻¹δS⁻¹ in the unscaled space) instead of max-diag-uniform,
+        # so small-row lanes stop being drowned by a shift sized for
+        # their largest row.  The hard-reject population this targets
+        # (VERDICT r4 item 2) is exactly the high-κ(B)² tail whose
+        # mixed-precision IR diverged.  Intrinsic near-degeneracy (near
+        # linearly dependent basis columns) is NOT fixed by any diagonal
+        # scaling — those lanes still fall through to the df64 tiers.
+        self.jacobi = jacobi
+        self.name = f"mixed_finish({base.name}, ir={ir_steps}{', jacobi' if jacobi else ''})"
 
     # -- wide-precision operator ------------------------------------------
     def prepare(self, A):
@@ -131,18 +155,56 @@ class MixedPrecisionKernels(KernelSet):
                 ctx.A.astype(jnp.float32)))
         diag = jnp.einsum("...mn,...n->...m", ctx.Asq, d)
         reg = reg_eps * jnp.max(diag, axis=-1)
+        lo = ctx.lo
+        if self.jacobi and getattr(lo, "W", None) is not None:
+            # shared-A batch-last context: form the f32 normal matrix via
+            # the W-trick, equilibrate, factor with the lane-vectorised
+            # Pallas Cholesky.  (Per-instance 3-D A and non-batch-last
+            # bases fall through to the unscaled base factor below.)
+            from pycllp_tpu.ops.batchlast import BLFactor, _chol_bl, _pad_lanes
+
+            m = lo.A.shape[0]
+            B = d.shape[0]
+            wide = d.dtype
+            tiny = jnp.asarray(jnp.finfo(wide).tiny, wide)
+            s = 1.0 / jnp.sqrt(jnp.maximum(diag, tiny))
+            dT, Bp = _pad_lanes(d.astype(jnp.float32).T, B)
+            sT, _ = _pad_lanes(s.astype(jnp.float32).T, B)
+            M = (lo.W @ dT).reshape(m, m, Bp)
+            M = M * sT[:, None, :] * sT[None, :, :]
+            # scaled diag(SMS) = 1 exactly → the PSD-safety shift is the
+            # relative floor itself
+            shift = jnp.full((Bp,), max(reg_eps, self.lo_reg_floor), jnp.float32)
+            L, dinv = _chol_bl(M, shift, m=m)
+            fac_lo = BLFactor(
+                ctx=lo, L=L, dinv_diag=dinv, d=d.astype(jnp.float32), reg=shift[:B]
+            )
+            return MixedFactor(ctx=ctx, fac_lo=fac_lo, d=d, reg=reg, s=s)
         fac_lo = self.base.factor(
-            ctx.lo, d.astype(jnp.float32), max(reg_eps, self.lo_reg_floor)
+            lo, d.astype(jnp.float32), max(reg_eps, self.lo_reg_floor)
         )
         return MixedFactor(ctx=ctx, fac_lo=fac_lo, d=d, reg=reg)
+
+    def _lo_solve(self, fac, rs):
+        """Apply the f32 preconditioner to wide residuals (f32 out).
+
+        Unscaled: (M+δI)⁻¹ via the base solve.  Jacobi: the factor holds
+        chol(S·M·S + δI), so P⁻¹r = S·(LLᵀ)⁻¹·(S·r).
+        """
+        if fac.s is None:
+            return self.base.solve(
+                fac.fac_lo, tuple(r.astype(jnp.float32) for r in rs)
+            )
+        s32 = fac.s.astype(jnp.float32)
+        vs = self.base.solve(
+            fac.fac_lo, tuple((r * fac.s).astype(jnp.float32) for r in rs)
+        )
+        return tuple(v * s32 for v in vs)
 
     def solve(self, fac, rs):
         wide = rs[0].dtype
         k = len(rs)
-        vs = tuple(
-            v.astype(wide)
-            for v in self.base.solve(fac.fac_lo, tuple(r.astype(jnp.float32) for r in rs))
-        )
+        vs = tuple(v.astype(wide) for v in self._lo_solve(fac, rs))
         if not self.ir_steps:
             return vs
         if k > 1 and getattr(fac.ctx.A, "ndim", 2) != 2:
@@ -153,9 +215,7 @@ class MixedPrecisionKernels(KernelSet):
             # matvecs, which the 3-D path doesn't use anyway).
             for _ in range(self.ir_steps):
                 es = tuple(r - self.matvec_M(fac, v) for r, v in zip(rs, vs))
-                cs = self.base.solve(
-                    fac.fac_lo, tuple(e.astype(jnp.float32) for e in es)
-                )
+                cs = self._lo_solve(fac, es)
                 vs = tuple(v + c.astype(wide) for v, c in zip(vs, cs))
             return vs
         # one stacked IR residual per sweep: the k RHS share A and d, so
@@ -171,7 +231,7 @@ class MixedPrecisionKernels(KernelSet):
             R = jnp.concatenate(rs, axis=0) if k > 1 else rs[0]
             E = R - MV
             es = tuple(E[i * rs[0].shape[0]:(i + 1) * rs[0].shape[0]] for i in range(k))
-            cs = self.base.solve(fac.fac_lo, tuple(e.astype(jnp.float32) for e in es))
+            cs = self._lo_solve(fac, es)
             vs = tuple(v + c.astype(wide) for v, c in zip(vs, cs))
         return vs
 

@@ -34,6 +34,7 @@ correctness gate.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["basis_indicator", "vertex_candidate", "crossover_candidate"]
 
@@ -58,7 +59,18 @@ def _top_m_indicator(score, m: int):
     cumsum tie-break makes the m-count exact under collisions.
     """
     n = score.shape[-1]
-    s32 = score.astype(jnp.float32) if score.dtype == jnp.float64 else score
+    if score.dtype == jnp.float64:
+        # order-preserving clamp BEFORE the cast: f64 scores above f32
+        # max (x/z ratios measured up to 5e47) would cast to +inf and be
+        # indistinguishable from the repair rounds' +inf 'enter' pins
+        # (ADVICE r4) — clamp finite scores strictly below the pin
+        # sentinel, let genuine ±inf pins through.
+        fmax = jnp.asarray(3.0e38, jnp.float64)
+        s32 = jnp.where(
+            jnp.isinf(score), score, jnp.clip(score, -fmax, fmax)
+        ).astype(jnp.float32)
+    else:
+        s32 = score
     cut = jnp.sort(s32, axis=-1)[..., n - m][..., None]
     gt = s32 > cut
     need = m - jnp.sum(gt, axis=-1, keepdims=True)
@@ -100,12 +112,20 @@ def vertex_candidate(
     fac = fkset.factor(fctx, d, reg_eps)
     w, yv = fkset.solve(fac, (b, fkset.mv(fctx, d * c)))
     xv = d * fkset.rmv(fctx, w)
-    for _ in range(refine):
+
+    def refine_body(_, xy):
+        xv, yv = xy
         rp = b - fkset.mv(fctx, xv)
         rd_b = d * (c - fkset.rmv(fctx, yv))
         dw, dy = fkset.solve(fac, (rp, fkset.mv(fctx, rd_b)))
-        xv = xv + d * fkset.rmv(fctx, dw)
-        yv = yv + dy
+        return xv + d * fkset.rmv(fctx, dw), yv + dy
+
+    if refine:
+        # fori_loop, not an unrolled Python loop: the sweep's solve +
+        # 4 wide matvecs trace ONCE regardless of the sweep count — the
+        # finish program's compile weight scales with traced df64/Ozaki
+        # instances (docs/PERFORMANCE.md round 4), not executed sweeps.
+        xv, yv = lax.fori_loop(0, refine, refine_body, (xv, yv))
     zv = c - fkset.rmv(fctx, yv)
 
     rp = b - fkset.mv(fctx, xv)
@@ -179,7 +199,9 @@ def crossover_candidate(
     xa, ya, za, acc, rpa = xv, yv, zv, ok, rp
     one = jnp.asarray(1.0, x.dtype)
     inf_ = jnp.asarray(jnp.inf, score.dtype)
-    for _ in range(repair):
+
+    def repair_body(_, carry):
+        score, d, xv, yv, zv, rp, xa, ya, za, acc, rpa = carry
         xscale = jnp.maximum(one, jnp.max(xv, axis=-1))[..., None]
         zscale = jnp.maximum(one, jnp.max(jnp.abs(zv), axis=-1))[..., None]
         leave = (d > 0.5) & (xv < -feas_tol * xscale)
@@ -196,6 +218,17 @@ def crossover_candidate(
         za = jnp.where(nn, zv, za)
         rpa = jnp.where(nn, rp, rpa)
         acc = acc | newly
+        return score, d, xv, yv, zv, rp, xa, ya, za, acc, rpa
+
+    if repair:
+        # rounds as a fori_loop: one traced factor+solve instance for
+        # ANY repair count (round 4 traced repair+1 full vertex solves
+        # per crossover — 9 df64 instances across the drain tiers was
+        # the finish program's dominant compile payload)
+        _, _, _, _, _, _, xa, ya, za, acc, rpa = lax.fori_loop(
+            0, repair, repair_body,
+            (score, d, xv, yv, zv, rp, xa, ya, za, acc, rpa),
+        )
     return (
         jnp.maximum(xa, 0.0),
         ya,

@@ -58,6 +58,28 @@ __all__ = ["HSDState", "hsd_solve_batched", "hsd_solve", "hsd_solve_scan"]
 _RUNNING = np.int32(int(Status.RUNNING))  # numpy scalar: no device init at import
 
 
+def _require_x64(opts: SolverOptions) -> None:
+    """Hard-error when a float64 phase is requested but x64 is disabled.
+
+    Without ``jax_enable_x64``, JAX silently truncates every f64 array
+    request to f32 — the "wide" finish then runs narrow, the crossover
+    verification breaks down, and every lane returns NUMERICAL garbage
+    behind a stream of truncation warnings (exactly how the round-4
+    driver dryrun failed; SURVEY.md §7 ranks precision the top build
+    risk).  Raising here makes the misconfiguration impossible to miss.
+    """
+    wants_f64 = "float64" in (str(opts.dtype), str(opts.finish_dtype))
+    if wants_f64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "SolverOptions requests float64 "
+            f"(dtype={opts.dtype!r}, finish_dtype={opts.finish_dtype!r}) "
+            "but jax_enable_x64 is off — JAX would silently truncate the "
+            "wide phase to float32 and the solve would return garbage. "
+            'Fix: jax.config.update("jax_enable_x64", True) before '
+            "solving (or set JAX_ENABLE_X64=1), or drop the f64 request."
+        )
+
+
 class HSDState(NamedTuple):
     x: jnp.ndarray  # (B, n)
     y: jnp.ndarray  # (B, m)
@@ -110,7 +132,15 @@ def _indicators(rp, rd, rg, mu, tau, kappa, by, rp0, rd0, rg0, mu0) -> _Indicato
     rho_g = jnp.abs(rg) / jnp.maximum(one, rg0)
     rho_mu = mu / mu0
     cx_minus_by = rg - kappa  # cᵀx − bᵀy
-    rho_A = jnp.abs(cx_minus_by) / (tau + jnp.abs(by))
+    # gap test normalized by max(τ, |bᵀy|), i.e. (de-embedded)
+    # |cᵀx/τ − bᵀy/τ| ≤ tol·max(1, |obj|) — the SAME quantity the
+    # contract audits (objective error over max(1,|f|), BASELINE.md
+    # "Correctness").  The previous τ+|bᵀy| denominator was up to ~1
+    # objective-unit looser for |obj| ≲ 1 lanes, which forced the bench
+    # to run 5x past contract (tol 2e-7) to pass a 1e-6 audit
+    # (VERDICT r4 weak item 3).
+    tiny = jnp.asarray(jnp.finfo(rp.dtype).tiny, rp.dtype)
+    rho_A = jnp.abs(cx_minus_by) / jnp.maximum(jnp.maximum(tau, jnp.abs(by)), tiny)
     return _Indicators(rho_p, rho_d, rho_g, rho_mu, rho_A, by)
 
 
@@ -169,7 +199,10 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
         # on the CPU oracle — uncapped, a wide-phase lane's scaling hits
         # inf ON THE CHIP and NaNs its factorization.  Entries at 1e30
         # are already "infinite" for the Newton system (the corresponding
-        # z ≈ 0 bound is inactive); the cap is inert on CPU f64 paths too.
+        # z ≈ 0 bound is inactive).  On CPU f64 oracle paths the cap is
+        # benign but NOT inert: the same 5e47 spread means entries above
+        # 1e30 are capped there as well, so post-cap oracle trajectories
+        # can differ slightly from pre-cap ones (ADVICE r4).
         dinv = jnp.minimum(x / z, jnp.asarray(1e30, dtype))
 
         def refine_vs(fac, rs, vs):
@@ -493,7 +526,7 @@ def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
     return x, y, z, tau, kappa, status, ind
 
 
-def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
+def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet, only=None) -> HSDState:
     """Replace each lane's CURRENT iterate with its tracked best where the
     best scores strictly better.
 
@@ -517,6 +550,8 @@ def _fold_to_best(ctx, b, c, s: HSDState, kset: KernelSet) -> HSDState:
     score = score_of(s.x, s.y, s.z, s.tau, s.kappa)
     score_b = score_of(s.best_x, s.best_y, s.best_z, s.best_tau, s.best_kappa)
     use_best = ~jnp.isfinite(score) | (jnp.isfinite(score_b) & (score_b < score))
+    if only is not None:
+        use_best = use_best & only  # restrict the fold to these lanes
     ubn = use_best[..., None]
     return s._replace(
         x=jnp.where(ubn, s.best_x, s.x),
@@ -841,6 +876,21 @@ def _package_bucketed(
         | (state.status == jnp.int32(int(Status.UNBOUNDED)))
     )
     nt = ~terminal
+    # overflow guard (ADVICE r4): non-terminal lanes beyond `bucket` skip
+    # the gathered _finalize below, so an overflow tail would answer with
+    # its LAST iterate even when its tracked best is strictly better.
+    # This cond-gated fold runs a full-width best-iterate fold over the
+    # non-terminal lanes ONLY when they overflow the bucket — never on
+    # the typical high-acceptance run (runtime-skipped), so the fast path
+    # stays two-residual-passes cheaper.  Beyond-bucket STALLED/NUMERICAL
+    # lanes still skip _finalize's last-chance reclassification; that is
+    # the remaining (status-only) divergence from the full _package.
+    state = lax.cond(
+        jnp.sum(nt) > bucket,
+        lambda s: _fold_to_best(ctx, b_s, c_s, s, kset, only=nt),
+        lambda s: s,
+        state,
+    )
     idx = jnp.argsort(~nt)[:bucket]
     take = lambda v: v[idx] if getattr(v, "ndim", 0) else v  # noqa: E731
     sub = HSDState(*[take(v) for v in state])
@@ -916,6 +966,7 @@ def hsd_solve_batched(
     which destroys the positive-definiteness of ADAᵀ and NaNs the
     Cholesky within a few IPM iterations (observed on v5e).
     """
+    _require_x64(opts)  # trace-time: silent f64→f32 truncation is an error
     with jax.default_matmul_precision("highest"):
         return _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm)
 
@@ -1377,7 +1428,11 @@ def _hsd_scan_finish_core(
 
         # PYCLLP_FINISH_TRUNCATE=<stage>: return after the named stage
         # (diagnostic builds only — splits the finish program's cost
-        # empirically, since no sync point can exist inside one jit)
+        # empirically, since no sync point can exist inside one jit).
+        # Read at TRACE time and NOT part of the jit cache key (ADVICE
+        # r4): toggling it between calls in one process silently returns
+        # the previously compiled program — use a fresh process per
+        # setting (same for PYCLLP_OZAKI_MV_BITS in ozaki_mv_params).
         _trunc = os.environ.get("PYCLLP_FINISH_TRUNCATE", "")
 
         def _truncated(s):
@@ -1547,20 +1602,28 @@ def _hsd_scan_finish_core(
             # them through IPM rounds they don't need.  An accepted
             # 1e-8-residual vertex perturbs the audited objective by
             # ~|y·rp| ≈ 3e-7 — still 3x under the 1e-6 contract — and
-            # the ρ ≤ tol test still applies on top.
+            # the ρ ≤ tol test still applies on top.  refine=1, not the
+            # mixed engine's 2: after a DIRECT df64 factor one
+            # true-residual sweep already sits orders under the floored
+            # verification bound — the extra sweep was the mixed
+            # engine's IR-quality knob, and each sweep saved is a df64
+            # solve pair + 4 Ozaki matvecs per round.
             topts = opts.replace(
-                crossover_feas_tol=max(opts.crossover_feas_tol, 1e-8)
+                crossover_feas_tol=max(opts.crossover_feas_tol, 1e-8),
+                crossover_refine=min(opts.crossover_refine, 1),
             )
 
-            # tier 1: wide, shallow — df64 cross, short IPM, df64 cross
+            # tier 1: df64 crossover ONLY (repair rounds included).  The
+            # measured hard-reject anatomy (docs/PERFORMANCE.md round
+            # 4b): lanes surviving tier 0 are high-cond(B)² cases whose
+            # MIXED-precision IR diverges — for these a direct df64
+            # basis solve accepts instantly; no wide IPM sharpening is
+            # needed first.  Round 4's tier 1 (cross → 3 wide IPM steps
+            # → re-cross) spent a df64 IPM trace (compile) and 3 df64
+            # iterations per round (runtime) on lanes that mostly
+            # needed only the df64 solve; genuinely-wrong-basis lanes
+            # fall through to tier 2's deep treatment.
             def tier1(b2, c2, st2):
-                st2 = _crossover_state(fctx, b2, c2, st2, fkset, topts, opts.tol)
-                st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
-                st2 = _run_phase(
-                    fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
-                    st2.k + finish_cap, jnp.any,
-                )
-                st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
                 return _crossover_state(fctx, b2, c2, st2, fkset, topts, opts.tol)
 
             sflat = drain(sflat, finish_bucket, rounds, tier1)
@@ -1596,7 +1659,12 @@ def _hsd_scan_finish_core(
                     fctx, b2, c2, st2, fkset, topts, opts.tol, reopen=False
                 )
 
-            sflat = drain(sflat, max(256, finish_bucket // 8), rounds, tier2)
+            # width 256–bucket/4: tier 2 now also owns the (few) lanes
+            # round 4's tier-1 short IPM used to sharpen; the deep
+            # while_loops pay their width every masked iteration, so
+            # narrow-but-more-rounds stays the right trade (the rounds
+            # loop is skipped once nothing is RUNNING).
+            sflat = drain(sflat, max(256, finish_bucket // 4), rounds, tier2)
         else:
             # ---- stage 4 (ipm): compact the wide finish tail, resume
             # (TWO rounds: a tail larger than the bucket overflows round
@@ -1709,6 +1777,7 @@ def hsd_solve_scan(
     """
     if getattr(A, "ndim", 2) != 2:
         raise ValueError("hsd_solve_scan requires shared 2-D A")
+    _require_x64(opts)
     b = jnp.asarray(b)
     c = jnp.asarray(c)
     N = b.shape[0]
