@@ -109,8 +109,12 @@ CROSSOVER_FEAS = float(
 # per pass through the SAME factorization.  For the crossover finish
 # this is the acceptance knob: 0 -> 70%, 1 -> 83%, 2 -> 89% of lanes
 # accept the first basis guess (measured 2026-08-20), which sizes the
-# wide fallback bucket.
-KKT = int(os.environ.get("BENCH_KKT", 2))
+# wide fallback bucket.  Default 3 since round 5: the third pass costs
+# ~0.05s of narrow time and raises stage-3 acceptance 84.3% -> 86.9%
+# (with the Jacobi mixed engine), which emptied the drain tiers — the
+# full 65,536 lanes end OPTIMAL (audit max 5.6e-11) at 79.3K LP/s vs
+# 71.3K/3-straggler at kkt=2 (measured 2026-08-21).
+KKT = int(os.environ.get("BENCH_KKT", 3))
 TOL = float(os.environ.get("BENCH_TOL", 0)) or None
 
 
@@ -151,6 +155,9 @@ def bench_options() -> SolverOptions:
         stall_rtol=float(os.environ.get("BENCH_STALL_RTOL", 0.05)),
         refine_steps=0,
         kkt_refine=KKT,
+        # narrow-phase Gondzio correctors: a crossover-acceptance knob
+        # like kkt_refine (better-centred narrow points name their basis)
+        gondzio_correctors=int(os.environ.get("BENCH_GONDZIO", 0)),
         init_point="mehrotra",
         **fin,
     )

@@ -1237,6 +1237,10 @@ def _finish_opts_view(opts: SolverOptions) -> SolverOptions:
         stall_rtol=0.0,
         kkt_refine=0,
         finish_kkt_refine=opts.resolved_finish_kkt_refine(),
+        # narrow-phase Gondzio correctors are a narrow acceptance knob
+        # (like kkt_refine): the wide phases read finish_gondzio, so
+        # canonicalize the narrow value out of the finish cache key
+        gondzio_correctors=0,
         init_point="mehrotra",
         warm_start=False,
         warm_lambda=0.05,
@@ -1613,17 +1617,25 @@ def _hsd_scan_finish_core(
                 crossover_refine=min(opts.crossover_refine, 1),
             )
 
-            # tier 1: df64 crossover ONLY (repair rounds included).  The
-            # measured hard-reject anatomy (docs/PERFORMANCE.md round
-            # 4b): lanes surviving tier 0 are high-cond(B)² cases whose
-            # MIXED-precision IR diverges — for these a direct df64
-            # basis solve accepts instantly; no wide IPM sharpening is
-            # needed first.  Round 4's tier 1 (cross → 3 wide IPM steps
-            # → re-cross) spent a df64 IPM trace (compile) and 3 df64
-            # iterations per round (runtime) on lanes that mostly
-            # needed only the df64 solve; genuinely-wrong-basis lanes
-            # fall through to tier 2's deep treatment.
+            # tier 1: short wide IPM → df64 cross.  Probed at full scale
+            # (2026-08-21, r5 ledger): with the Jacobi-scaled mixed
+            # engine upstream, a df64 cross on the UNCHANGED point flips
+            # only ~10% of the surviving rejects (576/5,586) — the
+            # precision-limited class is now absorbed by tier 0, so what
+            # reaches this tier is wrong-basis work whose point needs a
+            # few genuine df64 IPM steps to re-center before the basis
+            # is identifiable.  Round 4's leading cross is therefore
+            # dropped (one less df64 cross instance per round, traced
+            # and executed); the repair rounds live in the post-IPM
+            # cross.  Without the tier IPM entirely, the population fell
+            # to tier 2's deep treatment (+0.4s, measured).
             def tier1(b2, c2, st2):
+                st2 = st2._replace(best_k=jnp.full_like(st2.best_k, st2.k))
+                st2 = _run_phase(
+                    fctx, b2, c2, st2, wopts, fkset, wide, opts.tol,
+                    st2.k + finish_cap, jnp.any,
+                )
+                st2 = _fold_to_best(fctx, b2, c2, st2, fkset)
                 return _crossover_state(fctx, b2, c2, st2, fkset, topts, opts.tol)
 
             sflat = drain(sflat, finish_bucket, rounds, tier1)
