@@ -161,7 +161,16 @@ def check_ozaki():
     M_ref = np.einsum("mn,bn,kn->mkb", A, d, A).reshape(m * m, B)
     scale = np.max(np.abs(M_ref), axis=0, keepdims=True)
     rel = np.max(np.abs(M - M_ref) / scale)
-    assert rel < 1e-13, f"ozaki formation rel err {rel:.2e} (vs output scale)"
+    # Bound 2.5e-13, re-calibrated at round-5 HEAD: fee0185's power-of-two
+    # slice normalization (an exact multiply instead of an emulated-f64
+    # divide) leaves the normalized value in [0.5, 1), which can forfeit
+    # one capture bit — measured here as 1.2e-13 where the pre-change
+    # kernel recorded <1e-13 (docs/SMOKE_r04.md).  The extra bit is not
+    # needed: the formation consumer's end-to-end audits hold with 3+
+    # decades of margin (headline 5.6e-11; the probe section below
+    # 3.4e-7 vs the 1e-6 contract), and acceptance is always gated by
+    # the f64 verification, never by formation accuracy.
+    assert rel < 2.5e-13, f"ozaki formation rel err {rel:.2e} (vs output scale)"
 
 
 @section("256-lane two-phase probe: majority-OPTIMAL + 1e-6 audit")
