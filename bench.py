@@ -115,6 +115,20 @@ CROSSOVER_FEAS = float(
 # full 65,536 lanes end OPTIMAL (audit max 5.6e-11) at 79.3K LP/s vs
 # 71.3K/3-straggler at kkt=2 (measured 2026-08-21).
 KKT = int(os.environ.get("BENCH_KKT", 3))
+# narrow iterations at kkt_refine=0 before refinement engages.
+# Default 0 — MEASURED NEGATIVE at full scale (2026-08-21): warmup=5
+# saved ~0.05s of narrow time but the unrefined early directions bent
+# the whole f32 trajectory, not just its tail — mean iterations 9.2 →
+# 10.1, the narrow compact bucket overflowed (1,269 lanes reached the
+# finish still RUNNING vs 0), stage-3 crossover acceptance fell, and
+# the drain tiers more than ate the saving (66.7K vs 84.0K LP/s same
+# day).  KKT refinement is a TRAJECTORY knob here, not just an
+# end-quality knob.  The option stays for workloads with cheaper tails.
+KKT_WARMUP = int(os.environ.get("BENCH_KKT_WARMUP", 0))
+# predictor-direction KKT sweeps (<0 = follow BENCH_KKT): the predictor
+# only gauges mu_aff and feeds the corrector's second-order products,
+# so it tolerates fewer sweeps than the corrector that is taken
+KKT_PRED = int(os.environ.get("BENCH_KKT_PRED", -1))
 TOL = float(os.environ.get("BENCH_TOL", 0)) or None
 
 
@@ -155,6 +169,8 @@ def bench_options() -> SolverOptions:
         stall_rtol=float(os.environ.get("BENCH_STALL_RTOL", 0.05)),
         refine_steps=0,
         kkt_refine=KKT,
+        kkt_refine_pred=(None if KKT_PRED < 0 else KKT_PRED),
+        kkt_warmup=KKT_WARMUP,
         # narrow-phase Gondzio correctors: a crossover-acceptance knob
         # like kkt_refine (better-centred narrow points name their basis)
         gondzio_correctors=int(os.environ.get("BENCH_GONDZIO", 0)),

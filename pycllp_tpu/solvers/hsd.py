@@ -262,9 +262,9 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
             (v,) = msolve((rhs_p + kset.mv(ctx, dinv * r1),))
             return assemble(v, r1, rhs_g, rhs_xs, rhs_tk)
 
-        def kkt_correct(d, rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk):
+        def kkt_correct(d, rhs_p, rhs_d, rhs_g, rhs_xs, rhs_tk, sweeps=None):
             """Iterative refinement on the full 5-block Newton system."""
-            for _ in range(kkt_refine):
+            for _ in range(kkt_refine if sweeps is None else sweeps):
                 dx, dy, dz, dtau, dkappa = d
                 e_p = rhs_p - (kset.mv(ctx, dx) - b * dtau[..., None])
                 e_d = rhs_d - (kset.rmv(ctx, dy) + dz - c * dtau[..., None])
@@ -282,7 +282,13 @@ def _make_step_fn(ctx, b, c, opts: SolverOptions, kset: KernelSet, dtype):
             rxs_a = -x * z
             rtk_a = -tau * kappa
             da = assemble(v_pred, r1_pred, rg, rxs_a, rtk_a)
-            da = kkt_correct(da, rp, rd, rg, rxs_a, rtk_a)
+            # asymmetric refinement: the predictor is only taken to
+            # gauge μ_aff (→ the centering weight γ) and to form the
+            # corrector's second-order products — the step actually
+            # TAKEN is the corrector — so it tolerates fewer sweeps
+            # than the corrector (opts.kkt_refine_pred, None = same)
+            da = kkt_correct(da, rp, rd, rg, rxs_a, rtk_a,
+                             sweeps=opts.resolved_kkt_refine_pred())
             dxa, dya, dza, dta, dka = da
             a_aff = jnp.minimum(1.0, _max_step(x, dxa, z, dza, tau, dta, kappa, dka))
             aan = a_aff[..., None]
@@ -470,6 +476,30 @@ def _run_phase(
         )
 
     return lax.while_loop(cond, body, state)
+
+
+def _run_narrow_phase(
+    ctx, b, c, state: HSDState, opts: SolverOptions, kset: KernelSet,
+    dtype, tol: float, maxiter: int, reduce_any: Callable,
+) -> HSDState:
+    """Narrow IPM phase with the ``kkt_warmup`` refine schedule.
+
+    KKT-level refinement is an end-quality knob (crossover acceptance is
+    named by the LAST few f32 directions), so the first ``kkt_warmup``
+    iterations run with ``kkt_refine=0`` — 2·kkt_refine fewer solves per
+    iteration — and the loop continues refined from there.  The split is
+    two sequential while_loops over the same state (``_run_phase`` caps
+    are absolute in ``k``); a warmup at/below the workload's minimum lane
+    iteration count leaves every lane's terminal iterate unchanged.
+    Resumed states (k ≥ warmup) skip the warmup loop at runtime.
+    """
+    w = opts.kkt_warmup
+    if opts.kkt_refine and w:
+        state = _run_phase(
+            ctx, b, c, state, opts.replace(kkt_refine=0), kset, dtype, tol,
+            min(w, maxiter) if isinstance(maxiter, int) else w, reduce_any,
+        )
+    return _run_phase(ctx, b, c, state, opts, kset, dtype, tol, maxiter, reduce_any)
 
 
 def _finalize(ctx, b, c, s: HSDState, kset: KernelSet, tol):
@@ -1007,7 +1037,7 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
     state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype, warm=warm)
 
     phase1_tol = max(opts.tol, opts.switch_tol) if finish else opts.tol
-    state = _run_phase(
+    state = _run_narrow_phase(
         ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, opts.maxiter, reduce_any
     )
 
@@ -1042,6 +1072,8 @@ def _hsd_solve_batched_impl(A, b, c, opts, kset, reduce_any, warm=None):
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
             kkt_refine=opts.resolved_finish_kkt_refine(),
+            kkt_refine_pred=None,  # the asymmetric predictor schedule is
+            # a NARROW knob — wide directions refine symmetrically
             gondzio_correctors=opts.finish_gondzio,
         )
         state = _run_phase(
@@ -1241,6 +1273,8 @@ def _finish_opts_view(opts: SolverOptions) -> SolverOptions:
         # (like kkt_refine): the wide phases read finish_gondzio, so
         # canonicalize the narrow value out of the finish cache key
         gondzio_correctors=0,
+        kkt_refine_pred=None,
+        kkt_warmup=0,
         init_point="mehrotra",
         warm_start=False,
         warm_lambda=0.05,
@@ -1321,7 +1355,7 @@ def _hsd_scan_narrow_core(A, b3, c3, opts, kset, keys, cap, bucket, warm_chain=F
             def f(carry, bc):
                 b_s, c_s = bc
                 state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype, warm=carry)
-                state = _run_phase(
+                state = _run_narrow_phase(
                     ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, cap, jnp.any
                 )
                 tau_safe = jnp.maximum(
@@ -1347,7 +1381,7 @@ def _hsd_scan_narrow_core(A, b3, c3, opts, kset, keys, cap, bucket, warm_chain=F
             def f(_, bc):
                 b_s, c_s = bc
                 state = _fresh_state(ctx, b_s, c_s, opts, kset, dtype)
-                state = _run_phase(
+                state = _run_narrow_phase(
                     ctx, b_s, c_s, state, opts, kset, dtype, phase1_tol, cap, jnp.any
                 )
                 return None, state
@@ -1427,6 +1461,8 @@ def _hsd_scan_finish_core(
             stall_patience=opts.finish_patience,
             stall_rtol=0.0,
             kkt_refine=opts.resolved_finish_kkt_refine(),
+            kkt_refine_pred=None,  # the asymmetric predictor schedule is
+            # a NARROW knob — wide directions refine symmetrically
             gondzio_correctors=opts.finish_gondzio,
         )
 
@@ -1586,7 +1622,11 @@ def _hsd_scan_finish_core(
 
             if opts.crossover_repair:  # without repair a re-cross of the
                 # unchanged state would re-fail identically — skip the tier
-                sflat = drain(sflat, min(8 * finish_bucket, N), rounds, tier0)
+                # width: decoupled from the df64 bucket (r5) — the mixed
+                # repair rounds are f32-factor cheap, and one 16K round
+                # swallows the typical post-stage-3 reject volume (~11-13%
+                # of 65,536) where 8×1024 paid a second gather+round
+                sflat = drain(sflat, min(max(16384, 8 * finish_bucket), N), rounds, tier0)
             if _trunc == "tier0":
                 return tuple(_truncated(sflat)[k] for k in keys)
 
@@ -1671,12 +1711,14 @@ def _hsd_scan_finish_core(
                     fctx, b2, c2, st2, fkset, topts, opts.tol, reopen=False
                 )
 
-            # width 256–bucket/4: tier 2 now also owns the (few) lanes
-            # round 4's tier-1 short IPM used to sharpen; the deep
-            # while_loops pay their width every masked iteration, so
-            # narrow-but-more-rounds stays the right trade (the rounds
-            # loop is skipped once nothing is RUNNING).
-            sflat = drain(sflat, max(256, finish_bucket // 4), rounds, tier2)
+            # width 256, decoupled from the df64 bucket (r5: at bucket
+            # 2048 the old bucket/4 coupling doubled the deep loops to
+            # 512 wide and cancelled the wider-tier-1 win): tier 2's two
+            # deep while_loops pay their width EVERY masked iteration
+            # (~50 df64 iterations worst case), and the population that
+            # reaches it is tiny — narrow-but-more-rounds is the right
+            # trade (the rounds loop is skipped once nothing is RUNNING).
+            sflat = drain(sflat, 256, rounds, tier2)
         else:
             # ---- stage 4 (ipm): compact the wide finish tail, resume
             # (TWO rounds: a tail larger than the bucket overflows round

@@ -93,6 +93,22 @@ class SolverOptions:
     scale: bool = True
     dtype: str | None = None
     kkt_refine: int = 0
+    kkt_refine_pred: int | None = None  # KKT refinement sweeps for the
+    # PREDICTOR direction only (None = kkt_refine).  The predictor is
+    # never taken: it gauges μ_aff (→ centering weight γ) and feeds the
+    # corrector's second-order products, so it tolerates fewer sweeps
+    # than the corrector — the direction that IS taken and whose quality
+    # names the crossover basis.  kkt_refine=3 with kkt_refine_pred=1
+    # drops 2 of 6 refinement solves per iteration.
+    kkt_warmup: int = 0  # narrow iterations run at kkt_refine=0 before
+    # the configured kkt_refine engages.  KKT-level refinement is an
+    # END-QUALITY knob (it tightens the f32 direction near the indicator
+    # floor, which is what names the crossover basis); the first few
+    # iterations are far from the floor and gain nothing from it, so a
+    # warmup below the observed minimum lane iteration count (bench
+    # 64x64: min 7) buys back ~kkt_refine extra solves x warmup
+    # iterations of narrow time with an unchanged terminal iterate on
+    # every lane.  0 = refine from the first iteration.
     gondzio_correctors: int = 0  # extra centrality-corrector solves per
     # iteration (Gondzio); reduces iteration count for ~1 solve each
     stall_patience: int = 12
@@ -201,6 +217,9 @@ class SolverOptions:
 
     def resolved_finish_kkt_refine(self) -> int:
         return self.kkt_refine if self.finish_kkt_refine is None else self.finish_kkt_refine
+
+    def resolved_kkt_refine_pred(self) -> int:
+        return self.kkt_refine if self.kkt_refine_pred is None else self.kkt_refine_pred
 
     def resolved_refine_steps(self, dtype) -> int:
         if self.refine_steps is not None:
