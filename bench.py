@@ -127,8 +127,13 @@ KKT = int(os.environ.get("BENCH_KKT", 3))
 KKT_WARMUP = int(os.environ.get("BENCH_KKT_WARMUP", 0))
 # predictor-direction KKT sweeps (<0 = follow BENCH_KKT): the predictor
 # only gauges mu_aff and feeds the corrector's second-order products,
-# so it tolerates fewer sweeps than the corrector that is taken
-KKT_PRED = int(os.environ.get("BENCH_KKT_PRED", -1))
+# so it tolerates fewer sweeps than the corrector that is taken.
+# Default 0 since round 5 (measured same-day ladder, 65,536 lanes,
+# sync-mode totals): pred=3 0.780s / pred=1 0.774s / pred=0 0.714s =
+# 91.8K LP/s, with ALL lanes OPTIMAL and the 64-lane audit max pinned
+# at 5.57e-11 in every case — the corrector's 3 refined sweeps alone
+# hold crossover acceptance; refining the predictor was pure cost.
+KKT_PRED = int(os.environ.get("BENCH_KKT_PRED", 0))
 TOL = float(os.environ.get("BENCH_TOL", 0)) or None
 
 
@@ -163,7 +168,7 @@ def bench_options() -> SolverOptions:
     # normalization mismatch is gone (VERDICT r4 item 8).
     return SolverOptions(
         tol=TOL or (1e-6 if FINISH else 1e-5),
-        maxiter=40,
+        maxiter=int(os.environ.get("BENCH_MAXITER", 40)),
         dtype="float32",
         stall_patience=int(os.environ.get("BENCH_PATIENCE", 3)),
         stall_rtol=float(os.environ.get("BENCH_STALL_RTOL", 0.05)),

@@ -36,6 +36,23 @@ class TestKKTWarmup:
             np.asarray(out["objective"]), np.asarray(ref["objective"]), rtol=1e-6
         )
 
+    def test_pred_schedule_same_optima(self, batch_problem):
+        """Asymmetric refinement (kkt_refine_pred < kkt_refine): same
+        optima to solver tol; pred=kkt_refine is bitwise the default."""
+        A, b, c = batch_problem
+        base = SolverOptions(tol=1e-8, maxiter=60, kkt_refine=3)
+        ref = hsd_solve_batched(A, b, c, base)
+        for pred in (0, 1):
+            out = hsd_solve_batched(A, b, c, base.replace(kkt_refine_pred=pred))
+            assert (np.asarray(out["status"]) == int(Status.OPTIMAL)).all()
+            np.testing.assert_allclose(
+                np.asarray(out["objective"]), np.asarray(ref["objective"]), rtol=1e-6
+            )
+        same = hsd_solve_batched(A, b, c, base.replace(kkt_refine_pred=3))
+        np.testing.assert_array_equal(
+            np.asarray(same["objective"]), np.asarray(ref["objective"])
+        )
+
     def test_inert_without_kkt_refine(self, batch_problem):
         """kkt_refine=0 ⇒ the warmup split must not even change the trace
         (both sub-phases would be identical); answers are bitwise equal."""
